@@ -1,0 +1,128 @@
+"""Regex field extraction with char spans, confidence scoring and in-row dedup.
+
+Re-expresses (from scratch, equivalent coverage — not copied):
+
+* pattern-set span extraction — analogue of deed_ocr/extractors/regex.py:7-53
+  (lot/block, section-township-range, metes-and-bounds, legal-desc header);
+* confidence scorer — semantics of deed_ocr/extractors/llm.py:143-165
+  (base 0.5; +0.2 if within 500 chars after a header keyword; +0.1 if
+  match length > 100; +0.1 if > 200; capped at 0.9);
+* text similarity — semantics of deed_ocr/extractors/llm.py:195-217
+  (exact → 1.0, containment → 0.9, else word-set Jaccard);
+* near-dup suppression — semantics of deed_ocr/extractors/llm.py:167-193
+  (sort by confidence desc, greedily keep unless similarity > 0.8 with an
+  already-kept item);
+* keyword-sentence extraction (reserve/retain, oil/mineral) — the
+  deterministic stand-in for the reference's LLM-extracted sentence lists
+  (deed_ocr/ocr/gemini_ocr.py:413-419 ``reserve_retain`` / ``oil_mineral``).
+
+Everything here operates on the FINAL normalized text, so emitted offsets
+index directly into ``extracted_text`` (SURVEY.md §7.4 canonical order).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+# --- patterns (own formulations; coverage mirrors extractors/regex.py) ---
+
+RE_LOT_BLOCK = re.compile(
+    r"Lot\s+\d+[A-Z]?\s*,?\s*Block\s+[0-9A-Z]+\s*,?\s*(?:of\s+)?"
+    r"[A-Z][A-Z '&-]*(?:SUBDIVISION|ADDITION|ESTATES?|PLAT)",
+    re.IGNORECASE,
+)
+
+RE_TRS = re.compile(
+    r"(?:(?:N|S|E|W|NE|NW|SE|SW)\s*1/[24]\s+of\s+)?"
+    r"Section\s+\d+\s*,?\s*Township\s+\d+\s*(?:North|South|[NS])\s*,?\s*"
+    r"Range\s+\d+\s*(?:East|West|[EW])",
+    re.IGNORECASE,
+)
+
+RE_METES_BOUNDS = re.compile(
+    r"Beginning\s+at\s+(?:a\s+point\s+)?.{0,2000}?"
+    r"(?:thence|containing).{0,2000}?(?:acres?|feet)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+RE_HEADER = re.compile(
+    r"(?:LEGAL\s+DESCRIPTION|PROPERTY\s+DESCRIPTION|DESCRIBED\s+AS\s+FOLLOWS?):?",
+    re.IGNORECASE,
+)
+
+RE_RESERVE = re.compile(r"\b(?:reserv(?:e|es|ed|ing|ation)|retain(?:s|ed|ing)?)\b", re.IGNORECASE)
+RE_OIL_MINERAL = re.compile(r"\b(?:oil|gas|mineral(?:s)?|hydrocarbon(?:s)?)\b", re.IGNORECASE)
+
+_SENTENCE_SPLIT = re.compile(r"(?<=[.!?])\s+")
+
+# (kind, pattern) in fixed evaluation order — order is part of the contract.
+FIELD_PATTERNS: Tuple[Tuple[str, "re.Pattern[str]"], ...] = (
+    ("lot_block", RE_LOT_BLOCK),
+    ("trs", RE_TRS),
+    ("metes_bounds", RE_METES_BOUNDS),
+)
+
+
+def extract_field_spans(text: str) -> List[Tuple[str, int, int, float]]:
+    """All pattern matches over ``text`` as ``(kind, start, end, score)``.
+
+    Matches are emitted in pattern order then position order (the
+    reference iterates its pattern dict the same way,
+    extractors/regex.py:48-52); scores via :func:`confidence`.
+    """
+    header_ends = [m.end() for m in RE_HEADER.finditer(text)]
+    out: List[Tuple[str, int, int, float]] = []
+    for kind, pat in FIELD_PATTERNS:
+        for m in pat.finditer(text):
+            out.append((kind, m.start(), m.end(), confidence(m.start(), m.end(), header_ends)))
+    return out
+
+
+def confidence(start: int, end: int, header_ends: List[int]) -> float:
+    """deed_ocr/extractors/llm.py:143-165 scoring semantics (computed in
+    integer tenths so 0.5+0.2+0.1+0.1 is exactly 0.9)."""
+    tenths = 5
+    for he in header_ends:
+        if 0 <= start - he <= 500:
+            tenths += 2
+            break
+    n = end - start
+    if n > 100:
+        tenths += 1
+    if n > 200:
+        tenths += 1
+    return min(tenths, 9) / 10.0
+
+
+def text_similarity(a: str, b: str) -> float:
+    """deed_ocr/extractors/llm.py:195-217 semantics: exact 1.0,
+    containment 0.9, else Jaccard over lowercase word sets."""
+    if a == b:
+        return 1.0
+    if a in b or b in a:
+        return 0.9
+    wa, wb = set(a.lower().split()), set(b.lower().split())
+    if not wa or not wb:
+        return 0.0
+    return len(wa & wb) / len(wa | wb)
+
+
+def suppress_near_dups(
+    cands: List[Tuple[str, float]], threshold: float = 0.8
+) -> List[Tuple[str, float]]:
+    """deed_ocr/extractors/llm.py:167-193 semantics: rank by score desc
+    (stable on input order for ties), greedily keep items whose
+    similarity to every kept item is <= threshold."""
+    ranked = sorted(cands, key=lambda c: -c[1])
+    kept: List[Tuple[str, float]] = []
+    for text, score in ranked:
+        if all(text_similarity(text, k) <= threshold for k, _ in kept):
+            kept.append((text, score))
+    return kept
+
+
+def keyword_sentences(text: str, pattern: "re.Pattern[str]") -> List[str]:
+    """Sentences of ``text`` that match ``pattern`` (deterministic
+    stand-in for the reference's LLM sentence lists)."""
+    return [s for s in _SENTENCE_SPLIT.split(text) if s and pattern.search(s)]

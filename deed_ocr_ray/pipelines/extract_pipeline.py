@@ -1,0 +1,192 @@
+"""The flagship extraction pipeline: pages parquet -> extracted parquet.
+
+Dataflow (SURVEY.md §7.1):
+
+    read_parquet(shards, include_paths)        # (url, warc_ts, html, text, lang)
+      └─ map_batches(Extractor, concurrency=P) # one dispatching actor-pool stage:
+      │                                        #   sniff → html/pdf/text branch →
+      │                                        #   normalize → spans → fields → error rows
+      └─ write_parquet(partition_cols=[part_id]) + per-partition manifests
+
+Scale design decisions:
+  * ONE extraction stage — the heavy ``html`` binary column is read once
+    from the object store and never crosses another stage boundary.
+  * Partition unit = input shard file group; rows carry ``part_id`` so
+    ``write_parquet(partition_cols=...)`` gives one output directory per
+    input shard group — the resume/retry unit (resumable output layout).
+  * Waves: partitions are processed ``wave_parts`` at a time; each wave
+    is one streaming Dataset job (full parallelism inside), and its
+    manifests publish atomically after the wave's data is on disk.
+    Smaller waves = finer checkpoints; ``wave_parts=None`` = one pass.
+  * Skew: payloads above ``max_payload_bytes`` become typed error rows;
+    blocks are byte-bounded by ``DataContext.target_max_block_size`` so
+    a giant blob lands in a small-row block instead of stalling a fat
+    batch (north-rule skew handling).
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+import time
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..sources.pages import find_shards
+from ..stages.extract import Extractor
+from ..state.manifest import (
+    PartitionManifest,
+    clear_stale_partitions,
+    dir_bytes,
+    lineage_id,
+    load_manifests,
+    part_dir,
+    write_manifest,
+)
+
+
+def extract_dataset(
+    ds: "ray.data.Dataset",
+    path_to_part: Optional[Dict[str, int]] = None,
+    concurrency: Optional[Union[int, tuple]] = None,
+    batch_size: Optional[int] = 256,
+    max_payload_bytes: int = 256 * 1024 * 1024,
+) -> "ray.data.Dataset":
+    """Attach the extraction stage to a pages Dataset (no sink)."""
+    if concurrency is None:
+        ncpu = int(ray.available_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = (1, max(2, ncpu))
+    return ds.map_batches(
+        Extractor,
+        fn_constructor_kwargs={
+            "path_to_part": path_to_part,
+            "max_payload_bytes": max_payload_bytes,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def plan_partitions(shards: List[str], files_per_part: int) -> List[List[str]]:
+    return [shards[i : i + files_per_part] for i in range(0, len(shards), files_per_part)]
+
+
+def run_extract(
+    input_path: Union[str, Sequence[str]],
+    out_dir: str,
+    *,
+    resume: bool = False,
+    files_per_part: int = 1,
+    wave_parts: Optional[int] = 8,
+    concurrency: Optional[Union[int, tuple]] = None,
+    batch_size: Optional[int] = 256,
+    max_payload_bytes: int = 256 * 1024 * 1024,
+) -> Dict[str, Any]:
+    """Run (or resume) the checkpointed extraction job. Returns a summary.
+
+    ``resume=True`` skips partitions whose manifest exists (anti-join on
+    the manifest store — the retry_helper.py:185-222 analogue) and wipes
+    data dirs that have no manifest before re-processing them.
+    """
+    t_start = time.perf_counter()
+    shards = find_shards(input_path)
+    if not shards:
+        raise FileNotFoundError(f"no input shards under {input_path!r}")
+    parts = plan_partitions(shards, files_per_part)
+
+    if resume:
+        completed = load_manifests(out_dir)
+        clear_stale_partitions(out_dir, completed)
+    else:
+        if os.path.isdir(out_dir):
+            import shutil
+
+            shutil.rmtree(out_dir)
+        completed = {}
+    os.makedirs(out_dir, exist_ok=True)
+
+    pending = [pid for pid in range(len(parts)) if pid not in completed]
+    wave_size = wave_parts or max(1, len(pending))
+    waves = [pending[i : i + wave_size] for i in range(0, len(pending), wave_size)]
+
+    n_rows = n_ok = 0
+    error_counts: collections.Counter = collections.Counter()
+    for wave in waves:
+        wave_t0 = time.perf_counter()
+        path_to_part = {f: pid for pid in wave for f in parts[pid]}
+        ds = ray.data.read_parquet(sorted(path_to_part), include_paths=True)
+        ds = extract_dataset(
+            ds,
+            path_to_part=path_to_part,
+            concurrency=concurrency,
+            batch_size=batch_size,
+            max_payload_bytes=max_payload_bytes,
+        )
+        ds.write_parquet(out_dir, partition_cols=["part_id"])
+        wave_ms = (time.perf_counter() - wave_t0) * 1000.0
+        # publish manifests (atomic, after data) with read-back stats
+        # over two tiny columns — columnar pruning keeps this cheap.
+        for pid in wave:
+            pdir = part_dir(out_dir, pid)
+            stats = _part_stats(pdir)
+            m = PartitionManifest(
+                part_id=pid,
+                lineage_id=lineage_id(parts[pid]),
+                input_files=parts[pid],
+                row_count=stats["rows"],
+                ok_count=stats["ok"],
+                error_counts=stats["errors"],
+                bytes_in=sum(os.path.getsize(f) for f in parts[pid]),
+                bytes_out=dir_bytes(pdir),
+                wall_ms=wave_ms / len(wave),
+                extract_us_sum=stats["extract_us"],
+            )
+            write_manifest(out_dir, m)
+            n_rows += stats["rows"]
+            n_ok += stats["ok"]
+            error_counts.update(stats["errors"])
+
+    for m in completed.values():
+        n_rows += m["row_count"]
+        n_ok += m["ok_count"]
+        error_counts.update(m["error_counts"])
+
+    wall_s = time.perf_counter() - t_start
+    return {
+        "n_parts": len(parts),
+        "parts_skipped": len(completed),
+        "n_rows": n_rows,
+        "n_ok": n_ok,
+        "error_counts": dict(error_counts),
+        "wall_s": wall_s,
+        "docs_per_sec": (n_rows / wall_s) if wall_s > 0 else 0.0,
+        "out_dir": out_dir,
+    }
+
+
+def _part_stats(pdir: str) -> Dict[str, Any]:
+    if not os.path.isdir(pdir):
+        return {"rows": 0, "ok": 0, "errors": {}, "extract_us": 0}
+    tbl = pq.read_table(pdir, columns=["status", "error_type", "extract_us"])
+    status = tbl.column("status").to_pylist()
+    etypes = tbl.column("error_type").to_pylist()
+    errors = collections.Counter(e for s, e in zip(status, etypes) if s == "error")
+    import pyarrow.compute as pc
+
+    us = pc.sum(tbl.column("extract_us")).as_py() or 0
+    return {
+        "rows": tbl.num_rows,
+        "ok": sum(1 for s in status if s == "ok"),
+        "errors": dict(errors),
+        "extract_us": int(us),
+    }
+
+
+def read_extracted(out_dir: str, columns: Optional[List[str]] = None) -> "ray.data.Dataset":
+    """Read the (hive-partitioned) extracted output back as a Dataset."""
+    return ray.data.read_parquet(out_dir, columns=columns)

@@ -1,0 +1,118 @@
+"""End-to-end pipeline tests: byte-identical golden outputs, checkpoint
+manifests, resume anti-join (the BASELINE.json correctness invariant)."""
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from deed_ocr_ray.fixtures import SF_TEST, write_pages_corpus
+from deed_ocr_ray.schema import DETERMINISTIC_COLUMNS
+from deed_ocr_ray.state.manifest import load_manifests, manifest_path, part_dir
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "extracted_sf_test.parquet")
+
+
+def _canonical(tbl: pa.Table) -> pa.Table:
+    tbl = tbl.select(DETERMINISTIC_COLUMNS)
+    golden_schema = pq.read_schema(GOLDEN)
+    tbl = tbl.cast(golden_schema)
+    idx = pc.sort_indices(tbl, sort_keys=[("url", "ascending"), ("warc_ts", "ascending")])
+    return tbl.take(idx).combine_chunks()
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pages_sf_test")
+    write_pages_corpus(
+        str(d), SF_TEST["n_rows"], seed=SF_TEST["seed"],
+        n_shards=SF_TEST["n_shards"], giant_bytes=SF_TEST["giant_bytes"],
+    )
+    return str(d)
+
+
+def test_e2e_byte_identical_to_golden(ray_session, corpus_dir, tmp_path):
+    from deed_ocr_ray.pipelines.extract_pipeline import run_extract
+
+    out = str(tmp_path / "out")
+    summary = run_extract(corpus_dir, out, files_per_part=2, wave_parts=2, concurrency=2)
+    assert summary["n_rows"] == SF_TEST["n_rows"]
+
+    got = _canonical(pq.read_table(out))
+    want = pq.read_table(GOLDEN).combine_chunks()
+    assert got.num_rows == want.num_rows
+    # column-by-column for a readable failure
+    for name in DETERMINISTIC_COLUMNS:
+        assert got.column(name).equals(want.column(name)), f"column {name} differs"
+
+
+def test_manifests_written_with_lineage_and_metrics(ray_session, corpus_dir, tmp_path):
+    from deed_ocr_ray.pipelines.extract_pipeline import run_extract
+
+    out = str(tmp_path / "out")
+    run_extract(corpus_dir, out, files_per_part=2, wave_parts=None, concurrency=2)
+    manifests = load_manifests(out)
+    assert len(manifests) == 3  # 6 shards / 2 per part
+    total = 0
+    for pid, m in manifests.items():
+        assert m["lineage_id"]
+        assert m["input_files"]
+        assert m["row_count"] == m["ok_count"] + sum(m["error_counts"].values())
+        assert m["bytes_in"] > 0 and m["bytes_out"] > 0
+        total += m["row_count"]
+    assert total == SF_TEST["n_rows"]
+
+
+def test_resume_skips_completed_and_matches_uninterrupted(ray_session, corpus_dir, tmp_path):
+    from deed_ocr_ray.pipelines.extract_pipeline import run_extract
+
+    full_out = str(tmp_path / "full")
+    run_extract(corpus_dir, full_out, files_per_part=1, wave_parts=None, concurrency=2)
+
+    # simulate a crash: keep parts 0-2 complete, drop 3-5; part 4 has
+    # partial data but NO manifest (must be wiped and re-done)
+    resumed_out = str(tmp_path / "resumed")
+    shutil.copytree(full_out, resumed_out)
+    for pid in (3, 4, 5):
+        os.remove(manifest_path(resumed_out, pid))
+    for pid in (3, 5):
+        shutil.rmtree(part_dir(resumed_out, pid))
+    # part 4 keeps its (now manifest-less) data -> stale partial
+
+    summary = run_extract(
+        corpus_dir, resumed_out, resume=True, files_per_part=1, wave_parts=None, concurrency=2
+    )
+    assert summary["parts_skipped"] == 3
+    assert summary["n_rows"] == SF_TEST["n_rows"]
+
+    got = _canonical(pq.read_table(resumed_out))
+    want = _canonical(pq.read_table(full_out))
+    assert got.equals(want)
+
+
+def test_resume_noop_when_all_complete(ray_session, corpus_dir, tmp_path):
+    from deed_ocr_ray.pipelines.extract_pipeline import run_extract
+
+    out = str(tmp_path / "out")
+    run_extract(corpus_dir, out, files_per_part=2, wave_parts=None, concurrency=2)
+    before = {p: os.path.getmtime(manifest_path(out, p)) for p in load_manifests(out)}
+    summary = run_extract(corpus_dir, out, resume=True, files_per_part=2,
+                          wave_parts=None, concurrency=2)
+    assert summary["parts_skipped"] == 3
+    after = {p: os.path.getmtime(manifest_path(out, p)) for p in load_manifests(out)}
+    assert before == after  # nothing re-processed
+
+
+def test_error_rows_absorbed_not_raised(ray_session, corpus_dir, tmp_path):
+    from deed_ocr_ray.pipelines.extract_pipeline import run_extract
+
+    out = str(tmp_path / "out")
+    summary = run_extract(corpus_dir, out, files_per_part=3, wave_parts=None, concurrency=2)
+    # corpus contains pdf_truncated (3%) and binary_junk (5%) rows
+    assert summary["error_counts"].get("pdf_parse_error", 0) > 0
+    assert summary["error_counts"].get("decode_error", 0) > 0
+    assert summary["n_ok"] + sum(summary["error_counts"].values()) == summary["n_rows"]
