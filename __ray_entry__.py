@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the library code it calls) initialises or shuts
+down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry``  — flagship extraction pipeline over a deterministic synthetic
+pages corpus scaled to sf0.001 (BASELINE.json input shape).
+``queries`` — one callable per implemented operator/pipeline from
+SURVEY.md §2 + the training-data operators (dedup, similarity, text
+analysis, multimodal plumbing).
+``oracle_sql`` — DuckDB-equivalent SQL for every SQL-expressible query;
+sketch/heuristic/extraction ops are rows-only by design.
 """
 
 from __future__ import annotations
@@ -18,27 +18,135 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+
+
+# --------------------------------------------------------------- flagship
+
+def _extract_query(sf_dir: str) -> Any:
+    """Synthesize the pages corpus for this sf and run the streaming
+    extraction pipeline; return deterministic scalar columns."""
+    import ray.data
+
+    from deed_ocr_ray.pipelines.corpus import pages_corpus_for
+    from deed_ocr_ray.pipelines.extract_pipeline import extract_dataset
+    from deed_ocr_ray.sources.pages import read_pages
+
+    corpus = pages_corpus_for(sf_dir)
+    ds = read_pages(corpus)
+    out = extract_dataset(ds)
+    return out.select_columns(
+        ["url", "lang", "payload_kind", "n_blocks", "n_kept", "n_chars",
+         "status", "error_type"]
+    )
+
+
+def _extract_spans_query(sf_dir: str) -> Any:
+    """Flattened span rows (url, kind, start, end) from the extraction
+    pipeline — exercises the spans contract end-to-end."""
+    from deed_ocr_ray.pipelines.corpus import pages_corpus_for
+    from deed_ocr_ray.pipelines.extract_pipeline import extract_dataset
+    from deed_ocr_ray.sources.pages import read_pages
+
+    corpus = pages_corpus_for(sf_dir)
+    out = extract_dataset(read_pages(corpus))
+
+    def flatten(t: pa.Table) -> pa.Table:
+        urls, kinds, starts, ends = [], [], [], []
+        for url, spans in zip(t["url"].to_pylist(), t["spans"].to_pylist()):
+            for s in spans:
+                urls.append(url)
+                kinds.append(s["kind"])
+                starts.append(s["start"])
+                ends.append(s["end"])
+        return pa.table({
+            "url": pa.array(urls, type=pa.string()),
+            "kind": pa.array(kinds, type=pa.string()),
+            "start": pa.array(starts, type=pa.int64()),
+            "end": pa.array(ends, type=pa.int64()),
+        })
+
+    return out.map_batches(flatten, batch_format="pyarrow")
+
+
+def _url_dedup_query(sf_dir: str) -> Any:
+    """Cross-corpus url exact dedup: first capture wins by warc_ts
+    (cross-row D1 over the synthesized pages corpus)."""
+    import pandas as pd
+
+    from deed_ocr_ray.pipelines.corpus import pages_corpus_for
+    from deed_ocr_ray.sources.pages import read_pages
+
+    corpus = pages_corpus_for(sf_dir)
+    ds = read_pages(corpus, columns=["url", "warc_ts"])
+
+    def first_by_ts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("warc_ts").head(1)
+        return g
+
+    return ds.groupby("url").map_groups(first_by_ts, batch_format="pandas")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return _extract_query("/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from deed_ocr_ray.pipelines import dedup, multimodal, relational, similarity, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction (rows-only: non-SQL-expressible)
+        "extract": _extract_query,
+        "extract_spans": _extract_spans_query,
+        "url_dedup": _url_dedup_query,
+        # relational operator coverage (SQL oracles)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q6_revenue_filter": relational.q6_revenue_filter,
+        "topk_orders": relational.q_topk_orders,
+        "mktsegment_orders": relational.q_mktsegment_orders,
+        "nation_revenue": relational.q_nation_revenue,
+        "events_hourly": relational.q_events_hourly,
+        "lang_source_stats": relational.q_lang_source_stats,
+        # text analysis (SQL oracles where exact)
+        "doc_normalize": textops.q_doc_normalize,
+        "token_count": textops.q_token_count,
+        "quality_score": textops.q_quality_score,
+        "fingerprint": textops.q_fingerprint,
+        "lang_id": textops.q_lang_id,
+        # dedup family
+        "exact_dedup": dedup.q_exact_dedup,
+        "minhash_pairs": dedup.q_minhash_pairs,
+        "simhash": dedup.q_simhash,
+        "simhash_near_pairs": dedup.q_simhash_near_pairs,
+        "jaccard_adjacent": dedup.q_jaccard_adjacent,
+        # similarity search
+        "knn_cosine": similarity.q_knn_cosine,
+        "knn_ivf": similarity.q_knn_ivf,
+        "embedding_neardup": similarity.q_embedding_neardup,
+        # multimodal plumbing (stubbed decode, real Ray plumbing)
+        "media_pipeline": multimodal.q_media_pipeline,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from deed_ocr_ray.pipelines import dedup, relational, similarity, textops
+
+    return {
+        "q1_pricing_summary": relational.Q1_SQL,
+        "q6_revenue_filter": relational.Q6_SQL,
+        "topk_orders": relational.Q_TOPK_SQL,
+        "mktsegment_orders": relational.Q_MKTSEGMENT_SQL,
+        "nation_revenue": relational.Q_NATION_SQL,
+        "events_hourly": relational.Q_EVENTS_SQL,
+        "lang_source_stats": relational.Q_LANG_SOURCE_SQL,
+        "doc_normalize": textops.Q_NORMALIZE_SQL,
+        "token_count": textops.Q_TOKEN_COUNT_SQL,
+        "quality_score": textops.Q_QUALITY_SQL,
+        "fingerprint": textops.Q_FINGERPRINT_SQL,
+        "exact_dedup": dedup.Q_EXACT_DEDUP_SQL,
+        "jaccard_adjacent": dedup.Q_JACCARD_ADJ_SQL,
+        "knn_cosine": similarity.Q_KNN_SQL,
+        "knn_ivf": similarity.Q_KNN_IVF_SQL,
+    }

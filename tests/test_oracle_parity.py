@@ -1,0 +1,59 @@
+"""In-pytest oracle parity: a fast subset of the driver's DuckDB gate.
+
+(The full gate over every query is tools/check_oracles.py; this keeps a
+representative slice inside `python -m pytest -x -q`.)
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["lineitem", "orders", "customer", "nation", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def canon(df: pd.DataFrame) -> list:
+    df = df[sorted(df.columns)]
+    return sorted(repr(tuple(r)) for r in df.itertuples(index=False, name=None))
+
+
+PARITY = [
+    ("q1_pricing_summary",),
+    ("topk_orders",),
+    ("events_hourly",),
+    ("token_count",),
+    ("fingerprint",),
+    ("jaccard_adjacent",),
+    ("knn_cosine",),
+]
+
+
+@pytest.mark.parametrize("name", [p[0] for p in PARITY])
+def test_parity(ray_session, con, name):
+    import __ray_entry__ as ent
+
+    got = ent.queries()[name](SF)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    want = con.execute(ent.oracle_sql()[name]).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert len(got) == len(want)
+    assert canon(got) == canon(want)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as ent
+
+    ds = ent.entry()
+    n = ds.count()
+    assert n == 500
+    cols = set(ds.schema().names)
+    assert {"url", "payload_kind", "status", "n_chars"} <= cols
