@@ -37,6 +37,10 @@ _WS_RUN = re.compile(r"\s+")
 
 
 def strip_watermarks(text: str) -> str:
+    # All three literals contain "UNO": one cheap substring check proves
+    # no replace can fire (byte-identical fast path).
+    if "UNO" not in text:
+        return text
     for wm in WATERMARKS:
         text = text.replace(wm, "")
     return text
@@ -86,10 +90,20 @@ def normalize_inline(text: str) -> str:
     joined by ``\\n\\n``) a fixed point of :func:`normalize_text`.
 
     Used for HTML block texts and PDF lines.
+
+    Implementation note: ``" ".join(t.split())`` is byte-equivalent to
+    ``_WS_RUN.sub(" ", t).strip()`` (runs of any whitespace -> single
+    space, ends stripped) and runs in C; boundary spaces the regex form
+    would keep are removed by the final strip either way, and literal
+    watermark replaces cannot be affected by leading/trailing spaces.
+    When no watermark fired, the first collapse's output is already the
+    fixed point, so the second collapse is skipped.
     """
-    text = _WS_RUN.sub(" ", text)
+    text = " ".join(text.split())
+    if "UNO" not in text:
+        return text
     text = strip_watermarks(text)
-    return _WS_RUN.sub(" ", text).strip()
+    return " ".join(text.split())
 
 
 def dedup_preserve_order(items: List[str]) -> List[str]:

@@ -56,12 +56,17 @@ RE_OIL_MINERAL = re.compile(r"\b(?:oil|gas|mineral(?:s)?|hydrocarbon(?:s)?)\b", 
 
 _SENTENCE_SPLIT = re.compile(r"(?<=[.!?])\s+")
 
-# (kind, pattern) in fixed evaluation order — order is part of the contract.
-FIELD_PATTERNS: Tuple[Tuple[str, "re.Pattern[str]"], ...] = (
-    ("lot_block", RE_LOT_BLOCK),
-    ("trs", RE_TRS),
-    ("metes_bounds", RE_METES_BOUNDS),
+# (kind, pattern, gate) in fixed evaluation order — order is part of the
+# contract. ``gate`` is a list of lowercase substrings the pattern REQUIRES
+# (implied by the regex), so a failed cheap ``in`` check proves zero
+# matches and skips the scan — results are byte-identical either way.
+FIELD_PATTERNS: Tuple[Tuple[str, "re.Pattern[str]", Tuple[str, ...]], ...] = (
+    ("lot_block", RE_LOT_BLOCK, ("lot", "block")),
+    ("trs", RE_TRS, ("section", "township", "range")),
+    ("metes_bounds", RE_METES_BOUNDS, ("beginning",)),
 )
+
+_HEADER_GATE = "descri"  # common to all RE_HEADER alternatives
 
 
 def extract_field_spans(text: str) -> List[Tuple[str, int, int, float]]:
@@ -71,9 +76,17 @@ def extract_field_spans(text: str) -> List[Tuple[str, int, int, float]]:
     reference iterates its pattern dict the same way,
     extractors/regex.py:48-52); scores via :func:`confidence`.
     """
-    header_ends = [m.end() for m in RE_HEADER.finditer(text)]
+    tl = text.lower()
     out: List[Tuple[str, int, int, float]] = []
-    for kind, pat in FIELD_PATTERNS:
+    header_ends: List[int] = []
+    header_done = False
+    for kind, pat, gate in FIELD_PATTERNS:
+        if any(g not in tl for g in gate):
+            continue
+        if not header_done:  # lazily: only needed when something matches
+            if _HEADER_GATE in tl:
+                header_ends = [m.end() for m in RE_HEADER.finditer(text)]
+            header_done = True
         for m in pat.finditer(text):
             out.append((kind, m.start(), m.end(), confidence(m.start(), m.end(), header_ends)))
     return out
@@ -124,5 +137,11 @@ def suppress_near_dups(
 
 def keyword_sentences(text: str, pattern: "re.Pattern[str]") -> List[str]:
     """Sentences of ``text`` that match ``pattern`` (deterministic
-    stand-in for the reference's LLM sentence lists)."""
+    stand-in for the reference's LLM sentence lists).
+
+    One full-text scan first: the patterns are single words (cannot span
+    a sentence split), so no full-text match proves no sentence matches
+    and skips the split — byte-identical results."""
+    if not pattern.search(text):
+        return []
     return [s for s in _SENTENCE_SPLIT.split(text) if s and pattern.search(s)]
