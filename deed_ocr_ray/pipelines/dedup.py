@@ -107,18 +107,30 @@ def minhash_signature(text: str) -> np.ndarray:
     return vals.min(axis=1)
 
 
+N_SHUFFLE_PARTS = 512  # coarse shuffle key: buckets per map_groups call
+
+
 class MinHasher:
-    """Actor: per-batch signatures + band explosion. Emits one row per
-    (doc, band): (band_id, band_hash, doc_id, sig)."""
+    """Actor: per-batch signatures + band explosion. Emits one SLIM row
+    per (doc, band): (part, band_id, band_hash, doc_id) — 24 B/row.
+    Signatures do NOT ride the shuffle (a 512 B sig repeated across 16
+    band rows made the exchange 300x heavier than the keys); candidate
+    pairs are verified afterwards against a broadcast signature store.
+
+    ``part`` is a COARSE shuffle key (band_hash mod N_SHUFFLE_PARTS):
+    grouping by the exact (band_id, band_hash) key makes Ray's
+    ``map_groups`` call the UDF once per bucket — ~16 buckets/doc, all
+    size 1, each paying a pandas-DataFrame construction (measured 34 s
+    for 5k docs). Grouping by ``part`` and resolving exact buckets with
+    a vectorized in-partition groupby cuts that to a few hundred UDF
+    calls with identical results."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
         doc_ids: List[int] = []
         band_ids: List[int] = []
         band_hashes: List[int] = []
-        sigs: List[List[int]] = []
         for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             sig = minhash_signature(text)
-            sig_list = [int(x) for x in sig]
             for b in range(N_BANDS):
                 chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
                 bh = int.from_bytes(
@@ -127,13 +139,35 @@ class MinHasher:
                 doc_ids.append(did)
                 band_ids.append(b)
                 band_hashes.append(bh)
-                sigs.append(sig_list)
         return pa.table({
+            "part": pa.array([h % N_SHUFFLE_PARTS for h in band_hashes], type=pa.int32()),
             "band_id": pa.array(band_ids, type=pa.int32()),
             "band_hash": pa.array(band_hashes, type=pa.int64()),
             "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "sig": pa.array(sigs, type=pa.list_(pa.uint64())),
         })
+
+
+def sig_matrix(sf_dir: str) -> "tuple[np.ndarray, np.ndarray]":
+    """(doc_ids, signatures) for the whole documents table, computed
+    distributed and collected driver-side. The sig store is
+    64 perms x 8 B = 512 B/doc — the canonical broadcast small side at
+    bench scale; at corpus scales where it no longer fits one node,
+    replace the broadcast with two ``Dataset.join``s of the pair list
+    against the signature table (doc_a then doc_b)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sigs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        mats = [minhash_signature(x) for x in t["text"].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "sig": pa.array([m.tolist() for m in mats], type=pa.list_(pa.uint64())),
+        })
+
+    rows = ds.map_batches(sigs, batch_format="pyarrow").take_all()
+    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["sig"] for r in rows], dtype=np.uint64)
+    return ids, mat
 
 
 MAX_BUCKET = 64  # skip degenerate buckets (boilerplate collisions);
@@ -141,37 +175,78 @@ MAX_BUCKET = 64  # skip degenerate buckets (boilerplate collisions);
 
 
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket, signature-verified.
-    Buckets larger than MAX_BUCKET are skipped (quadratic guard — the
-    skew-cap analogue for hot keys); at production scale log/emit the
-    overflow count rather than silently scanning."""
+    """Candidate pairs for ALL exact (band_id, band_hash) buckets inside
+    one coarse shuffle partition. Buckets larger than MAX_BUCKET are
+    skipped (quadratic guard — the skew-cap analogue for hot keys); at
+    production scale log/emit the overflow count rather than silently
+    scanning. Singleton buckets (the overwhelming majority) are dropped
+    by one vectorized duplicated() mask before any per-bucket work."""
     rows = []
-    if 1 < len(g) <= MAX_BUCKET:
-        docs = sorted(zip(g["doc_id"], g["sig"]), key=lambda x: x[0])
+    dup = g.duplicated(["band_id", "band_hash"], keep=False)
+    for _, sub in g[dup].groupby(["band_id", "band_hash"], sort=False):
+        if len(sub) > MAX_BUCKET:
+            continue
+        docs = sorted(set(sub["doc_id"]))
         for i in range(len(docs)):
             for j in range(i + 1, len(docs)):
-                a, sa = docs[i]
-                b, sb = docs[j]
-                if a == b:
-                    continue
-                est = float(np.mean(np.asarray(sa) == np.asarray(sb)))
-                rows.append((int(a), int(b), est))
-    return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
+                rows.append((int(docs[i]), int(docs[j])))
+    # typed output even when EMPTY: an empty object-dtype DataFrame
+    # yields a null-typed Arrow block, and mixed block schemas push the
+    # downstream shuffle onto a slow unification path (measured 23 s ->
+    # 2 s on the pair-dedup groupby).
+    return pa.table({
+        "doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
+        "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
+    })
+
+
+class _SigVerifier:
+    """Actor: estimate Jaccard for candidate pairs from the broadcast
+    signature store (fetched once per actor from the object store)."""
+
+    def __init__(self, sig_ref) -> None:
+        import ray as _ray
+
+        ids, mat = _ray.get(sig_ref)
+        self.row_of = {int(d): i for i, d in enumerate(ids)}
+        self.mat = mat
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy()
+        b = t["doc_b"].to_numpy()
+        ia = np.fromiter((self.row_of[int(x)] for x in a), dtype=np.int64, count=len(a))
+        ib = np.fromiter((self.row_of[int(x)] for x in b), dtype=np.int64, count=len(b))
+        est = (self.mat[ia] == self.mat[ib]).mean(axis=1)
+        return pa.table({
+            "doc_a": t["doc_a"],
+            "doc_b": t["doc_b"],
+            "est_jaccard": pa.array(est, type=pa.float64()),
+        })
 
 
 def q_minhash_pairs(sf_dir: str, min_est: float = 0.5) -> "ray.data.Dataset":
     """MinHash-LSH near-duplicate pairs (est. Jaccard >= ``min_est``).
     Columns: doc_a, doc_b, est_jaccard. (No SQL oracle: sketch-based.)"""
+    import ray as _ray
+
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+    pairs = bands.groupby("part").map_groups(_bucket_pairs, batch_format="pandas")
+    # a pair can surface from several bands -> exact dedup on the slim
+    # pair rows, then one vectorized verification pass
+    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    uniq = uniq.drop_columns(["n_bands"])
+    sig_ref = _ray.put(sig_matrix(sf_dir))
+    verified = uniq.map_batches(
+        _SigVerifier, fn_constructor_args=(sig_ref,),
+        batch_format="pyarrow", concurrency=(1, 4),
     )
-    # a pair can surface from several bands -> dedupe, keep max estimate
-    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
+    import pyarrow.compute as pc
+
+    return verified.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["est_jaccard"], min_est)),
+        batch_format="pyarrow",
     )
-    return uniq.filter(lambda r: r["est_jaccard"] >= min_est)
 
 
 # ------------------------------------------------------------------ simhash
@@ -218,7 +293,10 @@ def q_simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset
                 band_ids.append(b)
                 band_vals.append((h >> (16 * b)) & 0xFFFF)
                 sims.append(h - (1 << 64 if h >= (1 << 63) else 0))
+        part = [(b * 65536 + v) % N_SHUFFLE_PARTS
+                for b, v in zip(band_ids, band_vals)]
         return pa.table({
+            "part": pa.array(part, type=pa.int32()),
             "band_id": pa.array(band_ids, type=pa.int32()),
             "band_val": pa.array(band_vals, type=pa.int32()),
             "doc_id": pa.array(doc_ids, type=pa.int64()),
@@ -226,9 +304,12 @@ def q_simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset
         })
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # coarse-partition group; resolve exact buckets vectorized
+        # (see MinHasher docstring for why not groupby the exact key)
         rows = []
-        if len(g) > 1:
-            docs = sorted(zip(g["doc_id"], g["simhash"]), key=lambda x: x[0])
+        dup = g.duplicated(["band_id", "band_val"], keep=False)
+        for _, sub in g[dup].groupby(["band_id", "band_val"], sort=False):
+            docs = sorted(zip(sub["doc_id"], sub["simhash"]), key=lambda x: x[0])
             for i in range(len(docs)):
                 for j in range(i + 1, len(docs)):
                     a, ha = docs[i]
@@ -236,10 +317,14 @@ def q_simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset
                     d = bin((int(ha) ^ int(hb)) & ((1 << 64) - 1)).count("1")
                     if d <= max_hamming:
                         rows.append((int(a), int(b), d))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+        return pa.table({  # typed even when empty (see _bucket_pairs)
+            "doc_a": pa.array([r[0] for r in rows], type=pa.int64()),
+            "doc_b": pa.array([r[1] for r in rows], type=pa.int64()),
+            "hamming": pa.array([r[2] for r in rows], type=pa.int64()),
+        })
 
     exploded = ds.map_batches(bands, batch_format="pyarrow")
-    cand = exploded.groupby(["band_id", "band_val"]).map_groups(pairs, batch_format="pandas")
+    cand = exploded.groupby("part").map_groups(pairs, batch_format="pandas")
     return cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
