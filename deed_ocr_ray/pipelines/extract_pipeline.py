@@ -200,3 +200,40 @@ def _part_stats(pdir: str) -> Dict[str, Any]:
 def read_extracted(out_dir: str, columns: Optional[List[str]] = None) -> "ray.data.Dataset":
     """Read the (hive-partitioned) extracted output back as a Dataset."""
     return ray.data.read_parquet(out_dir, columns=columns)
+
+
+def export_extracted(out_dir: str, dest: str, fmt: str = "json") -> int:
+    """Re-sink extracted output as parquet/json/csv (the M14 output-format
+    gate, deed_ocr/cli.py:99-104 — the reference declared txt/csv but only
+    implemented json; all three are real here). CSV cannot hold nested
+    columns, so ``spans``/``fields``/``stage`` structs are serialized to
+    JSON strings per row. Returns the exported row count."""
+    import json as _json
+
+    import pyarrow as pa
+
+    ds = read_extracted(out_dir)
+    if fmt == "parquet":
+        ds.write_parquet(dest)
+    elif fmt == "json":
+        ds.write_json(dest)
+    elif fmt == "csv":
+        nested = {"spans", "fields"}
+
+        def flatten(t: pa.Table) -> pa.Table:
+            cols = {}
+            for name in t.column_names:
+                if name in nested:
+                    cols[name] = pa.array(
+                        [_json.dumps(v, ensure_ascii=False, sort_keys=True)
+                         for v in t.column(name).to_pylist()],
+                        type=pa.string(),
+                    )
+                else:
+                    cols[name] = t.column(name)
+            return pa.table(cols)
+
+        ds.map_batches(flatten, batch_format="pyarrow").write_csv(dest)
+    else:
+        raise ValueError(f"unknown export format {fmt!r}")
+    return ray.data.read_parquet(out_dir, columns=["status"]).count()

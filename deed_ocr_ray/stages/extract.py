@@ -70,12 +70,16 @@ def _assemble_blocks(
 
 
 def extract_row(
-    html: Optional[bytes], text: Optional[str], lang: Optional[str]
+    html: Optional[bytes], text: Optional[str], lang: Optional[str],
+    branches: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
-    """Extract one row. Total function — absorbs all failures."""
+    """Extract one row. Total function — absorbs all failures.
+
+    ``branches`` optionally overrides the payload-kind dispatch table
+    (see ``BRANCHES``)."""
     kind = sniff_kind(html, text)
     try:
-        return _extract_row_inner(kind, html, text, lang)
+        return _extract_row_inner(kind, html, text, lang, branches)
     except Exception as exc:  # absorb: error row, never a task failure
         return {
             "payload_kind": kind,
@@ -89,13 +93,54 @@ def extract_row(
         }
 
 
-def _extract_row_inner(
-    kind: str, html: Optional[bytes], text: Optional[str], lang: Optional[str]
-) -> Dict[str, Any]:
-    title = ""
-    n_blocks = n_kept = 0
-    branch_spans: List[Tuple[str, int, int, float]] = []
+# Branch signature: (html, text, lang) ->
+#   (body, branch_spans, title, n_blocks, n_kept) | error-row dict.
+# -----------------------------------------------------------------------
 
+def _branch_text(html: Optional[bytes], text: Optional[str], lang: Optional[str]):
+    body = fixpoint_normalize(text or "")
+    spans = [("text", 0, len(body), 1.0)] if body else []
+    n = 1 if body else 0
+    return body, spans, "", n, n
+
+
+def _branch_pdf(html: Optional[bytes], text: Optional[str], lang: Optional[str]):
+    page_texts, _declared = parse_pdf_pages(html or b"")
+    if not any(page_texts):
+        # zero recoverable text from a %PDF payload -> error row
+        # (total-failure fallback semantics, workflow_vision.py:199-216)
+        return _error_row("pdf", "pdf_parse_error")
+    body, spans = assemble_pages(page_texts)
+    body = fixpoint_normalize(body)
+    return body, spans, "", len(page_texts), sum(1 for p in page_texts if p)
+
+
+def _branch_html(html: Optional[bytes], text: Optional[str], lang: Optional[str]):
+    doc, bad_ratio = decode_html(html or b"")
+    if bad_ratio > JUNK_REPLACEMENT_RATIO:
+        return _error_row("html", "decode_error")
+    kept, n_blocks = extract_blocks(doc, stopwords_for(lang or ""))
+    body, spans, title = _assemble_blocks(kept)
+    return body, spans, title, n_blocks, len(kept)
+
+
+# The X1 extension surface: payload_kind -> branch callable. The
+# reference dispatches extraction engines the same way
+# (``--ocr-engine`` registry, deed_ocr/cli.py:60-65; factories
+# gemini_ocr.py:820-841 / vision_ocr.py:357-370). Pass an override map
+# to ``Extractor(branches=...)`` / ``extract_row(..., branches=...)`` to
+# plug in a different extractor for a payload kind.
+BRANCHES: Dict[str, Any] = {
+    "text": _branch_text,
+    "pdf": _branch_pdf,
+    "html": _branch_html,
+}
+
+
+def _extract_row_inner(
+    kind: str, html: Optional[bytes], text: Optional[str], lang: Optional[str],
+    branches: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
     if kind == "empty":
         return {
             "payload_kind": kind,
@@ -108,27 +153,11 @@ def _extract_row_inner(
             "error_type": "",
         }
 
-    if kind == "text":
-        body = fixpoint_normalize(text or "")
-        branch_spans = [("text", 0, len(body), 1.0)] if body else []
-        n_blocks = n_kept = 1 if body else 0
-    elif kind == "pdf":
-        page_texts, _declared = parse_pdf_pages(html or b"")
-        if not any(page_texts):
-            # zero recoverable text from a %PDF payload -> error row
-            # (total-failure fallback semantics, workflow_vision.py:199-216)
-            return _error_row(kind, "pdf_parse_error")
-        body, branch_spans = assemble_pages(page_texts)
-        body = fixpoint_normalize(body)
-        n_blocks = len(page_texts)
-        n_kept = sum(1 for p in page_texts if p)
-    else:  # html
-        doc, bad_ratio = decode_html(html or b"")
-        if bad_ratio > JUNK_REPLACEMENT_RATIO:
-            return _error_row(kind, "decode_error")
-        kept, n_blocks = extract_blocks(doc, stopwords_for(lang or ""))
-        n_kept = len(kept)
-        body, branch_spans, title = _assemble_blocks(kept)
+    table = branches or BRANCHES
+    res = table[kind](html, text, lang)
+    if isinstance(res, dict):  # branch-level error row
+        return res
+    body, branch_spans, title, n_blocks, n_kept = res
 
     field_spans = extract_field_spans(body)
     fields = _build_fields(body, field_spans, title)
@@ -197,9 +226,11 @@ class Extractor:
         self,
         path_to_part: Optional[Dict[str, int]] = None,
         max_payload_bytes: int = 256 * 1024 * 1024,
+        branches: Optional[Dict[str, Any]] = None,
     ) -> None:
         self.path_to_part = path_to_part or {}
         self.max_payload_bytes = max_payload_bytes
+        self.branches = branches
         # Touch the language tables once per actor (A1 pattern): all
         # compiled patterns are module-level; stop-word frozensets are
         # built at import. Nothing heavy remains per batch.
@@ -227,7 +258,7 @@ class Extractor:
             if h is not None and len(h) > self.max_payload_bytes:
                 row = _error_row(sniff_kind(h, texts[i]), "oversize")
             else:
-                row = extract_row(h, texts[i], langs[i])
+                row = extract_row(h, texts[i], langs[i], self.branches)
             us = (time.perf_counter_ns() - t0) // 1000
             cols["payload_kind"].append(row["payload_kind"])
             cols["extracted_text"].append(row["extracted_text"])

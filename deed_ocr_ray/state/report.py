@@ -1,0 +1,98 @@
+"""Run reports and retry candidacy from partition manifests.
+
+Analogue of the reference's offline retry tooling: scan output state,
+summarize failures by category, select retry candidates by error class,
+and render a human-readable report
+(deed_ocr/utils/retry_helper.py:14-111 ``scan_output_directory``,
+:185-222 ``get_retry_candidates``, :113-183 ``generate_retry_report``;
+summary counters deed_ocr/cli.py:303-337). The generated-retry-script
+sink (retry_helper.py:224-349) is replaced by the resumable run itself:
+``python -m deed_ocr_ray extract ... --resume`` re-processes exactly the
+partitions without a manifest.
+"""
+
+from __future__ import annotations
+
+import collections
+from typing import Any, Dict, List, Optional
+
+from .manifest import load_manifests
+
+# Error classes worth re-running (transient / environment-shaped), vs
+# poison rows (content-shaped: re-running cannot change the outcome).
+# Mirrors the reference's retry_recommended classification
+# (deed_ocr/workflow.py:86-108).
+TRANSIENT_ERRORS = frozenset({"oversize", "unknown"})
+
+
+def run_report(out_dir: str, planned_parts: Optional[int] = None) -> Dict[str, Any]:
+    """Aggregate all manifests into one summary dict (G4/G5 analogue)."""
+    ms = load_manifests(out_dir)
+    errors: collections.Counter = collections.Counter()
+    rows = ok = bytes_in = bytes_out = extract_us = 0
+    wall_ms = 0.0
+    for m in ms.values():
+        rows += m["row_count"]
+        ok += m["ok_count"]
+        bytes_in += m["bytes_in"]
+        bytes_out += m["bytes_out"]
+        extract_us += m.get("extract_us_sum", 0)
+        wall_ms += m.get("wall_ms", 0.0)
+        errors.update(m["error_counts"])
+    n_err = rows - ok
+    return {
+        "out_dir": out_dir,
+        "parts_completed": len(ms),
+        "parts_planned": planned_parts,
+        "parts_pending": (planned_parts - len(ms)) if planned_parts else None,
+        "row_count": rows,
+        "ok_count": ok,
+        "error_count": n_err,
+        "error_rate": (n_err / rows) if rows else 0.0,
+        "error_counts": dict(errors),
+        "bytes_in": bytes_in,
+        "bytes_out": bytes_out,
+        "extract_cpu_s": extract_us / 1e6,
+        "wall_ms_sum": wall_ms,
+    }
+
+
+def retry_candidates(
+    out_dir: str, error_types: Optional[List[str]] = None
+) -> List[int]:
+    """Partition ids whose manifests contain errors of the given classes
+    (default: the transient classes). Deleting those manifests and
+    re-running with ``--resume`` re-processes exactly these partitions —
+    the columnar analogue of the reference's selective re-run by error
+    type (retry_helper.py:185-222)."""
+    wanted = set(error_types) if error_types else TRANSIENT_ERRORS
+    out: List[int] = []
+    for pid, m in sorted(load_manifests(out_dir).items()):
+        if any(k in wanted and v > 0 for k, v in m["error_counts"].items()):
+            out.append(pid)
+    return out
+
+
+def format_report(summary: Dict[str, Any], candidates: List[int]) -> str:
+    """Human-readable run report (the S16 retry-report sink analogue)."""
+    lines = [
+        "=== extraction run report ===",
+        f"output:            {summary['out_dir']}",
+        f"partitions done:   {summary['parts_completed']}"
+        + (f" / {summary['parts_planned']}" if summary["parts_planned"] else ""),
+        f"rows:              {summary['row_count']}  "
+        f"(ok {summary['ok_count']}, error {summary['error_count']}, "
+        f"rate {summary['error_rate']:.2%})",
+        f"bytes in/out:      {summary['bytes_in']} / {summary['bytes_out']}",
+        f"extract cpu:       {summary['extract_cpu_s']:.1f}s",
+    ]
+    if summary["error_counts"]:
+        lines.append("errors by type:")
+        for k, v in sorted(summary["error_counts"].items()):
+            lines.append(f"  {k:20s} {v}")
+    if candidates:
+        lines.append(f"retry candidates (transient errors): parts {candidates}")
+        lines.append("  re-run: delete their manifests, then extract --resume")
+    else:
+        lines.append("retry candidates: none")
+    return "\n".join(lines)
