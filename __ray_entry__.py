@@ -94,7 +94,9 @@ def entry() -> Any:
 # ---------------------------------------------------------------- queries
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from deed_ocr_ray.pipelines import dedup, multimodal, relational, similarity, textops
+    from deed_ocr_ray.pipelines import (
+        dedup, multimodal, relational, similarity, textops, windows,
+    )
 
     return {
         # flagship extraction (rows-only: non-SQL-expressible)
@@ -109,6 +111,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": relational.q_nation_revenue,
         "events_hourly": relational.q_events_hourly,
         "lang_source_stats": relational.q_lang_source_stats,
+        # window / join operators (SQL oracles)
+        "running_total": windows.q_running_total,
+        "order_rank": windows.q_order_rank,
+        "customers_no_orders": windows.q_customers_no_orders,
+        "asof_last_event": windows.q_asof_last_event,
         # text analysis (SQL oracles where exact)
         "doc_normalize": textops.q_doc_normalize,
         "token_count": textops.q_token_count,
@@ -131,9 +138,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from deed_ocr_ray.pipelines import dedup, relational, similarity, textops
+    from deed_ocr_ray.pipelines import dedup, relational, similarity, textops, windows
 
     return {
+        "running_total": windows.Q_RUNNING_TOTAL_SQL,
+        "order_rank": windows.Q_ORDER_RANK_SQL,
+        "customers_no_orders": windows.Q_NO_ORDERS_SQL,
+        "asof_last_event": windows.Q_ASOF_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q6_revenue_filter": relational.Q6_SQL,
         "topk_orders": relational.Q_TOPK_SQL,

@@ -1,0 +1,263 @@
+"""Windowed aggregates, anti-join, and as-of join.
+
+Operators a training-data/feature pipeline needs that Ray Data has no
+primitive for, expressed as compositions per SURVEY.md §2 guidance
+(custom operator rule: map_batches + groupby().map_groups + sort when
+semantics allow). All use the COARSE-partition pattern (group by
+``key % N_PARTS``, resolve exact keys vectorized inside the partition)
+because per-key ``map_groups`` pays one UDF call per key (see
+dedup.MinHasher for measurements).
+
+Partitioning assumption (documented per the custom-operator rule): one
+coarse partition must hold ALL rows of each contained key — guaranteed
+because the shuffle key is a pure function of the join/window key.
+Money values aggregate in integer cents so running sums are
+bit-identical to the DuckDB oracle regardless of addition order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+N_PARTS = 64
+
+
+# ---------------------------------------------------------- running total
+
+def q_running_total(sf_dir: str) -> "ray.data.Dataset":
+    """Per-customer running order total (cents), window-ordered by
+    (o_orderdate, o_orderkey). Columns: o_orderkey, o_custkey,
+    running_cents."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # DuckDB ROUND() is half-away-from-zero; Arrow defaults to
+        # half-to-even — match the oracle explicitly.
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(t["o_custkey"], N_PARTS - 1), pa.int32()),
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_orderdate": t["o_orderdate"],
+            "cents": cents,
+        })
+
+    def windows(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        run = g.groupby("o_custkey", sort=False)["cents"].cumsum()
+        return pa.table({
+            "o_orderkey": pa.array(g["o_orderkey"].to_numpy(), type=pa.int64()),
+            "o_custkey": pa.array(g["o_custkey"].to_numpy(), type=pa.int64()),
+            "running_cents": pa.array(run.to_numpy(), type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(windows, batch_format="pandas")
+    )
+
+
+Q_RUNNING_TOTAL_SQL = """
+SELECT o_orderkey,
+       o_custkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS BIGINT) AS running_cents
+FROM orders
+"""
+
+
+# ------------------------------------------------------------- order rank
+
+def q_order_rank(sf_dir: str) -> "ray.data.Dataset":
+    """Rank of each order within its customer by (o_totalprice desc,
+    o_orderkey) — ROW_NUMBER() semantics with a deterministic tiebreak.
+    Columns: o_orderkey, o_custkey, rnk."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "part", pc.cast(pc.bit_wise_and(t["o_custkey"], N_PARTS - 1), pa.int32())
+        )
+
+    def ranks(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        rnk = g.groupby("o_custkey", sort=False).cumcount() + 1
+        return pa.table({
+            "o_orderkey": pa.array(g["o_orderkey"].to_numpy(), type=pa.int64()),
+            "o_custkey": pa.array(g["o_custkey"].to_numpy(), type=pa.int64()),
+            "rnk": pa.array(rnk.to_numpy(), type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(ranks, batch_format="pandas")
+    )
+
+
+Q_ORDER_RANK_SQL = """
+SELECT o_orderkey, o_custkey,
+       ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+       ) AS rnk
+FROM orders
+"""
+
+
+# ----------------------------------------------------------- anti join
+
+BIG_ORDER = 400000.0
+
+
+def q_customers_no_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Anti-join: customers with no order above BIG_ORDER — LEFT OUTER
+    shuffle join against the FILTERED + per-block-distinct custkey set
+    (shrink-before-shuffle), keep null matches. Columns: c_custkey,
+    c_name. (Every customer has at least one order in the test data, so
+    the unfiltered variant would be vacuously empty.)"""
+    import pyarrow.compute as pc
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    okeys = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def distinct(t: pa.Table) -> pa.Table:
+        big = t.filter(pc.greater(t["o_totalprice"], BIG_ORDER))
+        u = pc.unique(big["o_custkey"])
+        return pa.table({"o_custkey": u, "has": pa.array([1] * len(u), type=pa.int8())})
+
+    # per-block distinct, then the join's hash shuffle dedups the rest
+    okeys = okeys.map_batches(distinct, batch_format="pyarrow")
+    joined = cust.join(
+        okeys, join_type="left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def only_null(t: pa.Table) -> pa.Table:
+        mask = pc.is_null(t["has"])
+        return t.filter(mask).select(["c_custkey", "c_name"])
+
+    return joined.map_batches(only_null, batch_format="pyarrow")
+
+
+Q_NO_ORDERS_SQL = f"""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > {BIG_ORDER})
+"""
+
+
+# ------------------------------------------------------------- as-of join
+
+def q_asof_last_event(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join (Ray Data has no primitive): for each order, the
+    latest events.ts with user_id = o_custkey and ts <= o_orderdate,
+    plus the count of such events. Both tables are tagged into one
+    common-schema stream, co-partitioned by key, and resolved per
+    partition with numpy searchsorted over the sorted event timeline.
+    Columns: o_orderkey, last_event_ts, n_events_before."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(t["o_custkey"], N_PARTS - 1), pa.int32()),
+            "key": pc.cast(t["o_custkey"], pa.int64()),
+            "ts": t["o_orderdate"],
+            "o_orderkey": t["o_orderkey"],
+            "side": pa.array([0] * t.num_rows, type=pa.int8()),
+        })
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(t["user_id"], N_PARTS - 1), pa.int32()),
+            "key": pc.cast(t["user_id"], pa.int64()),
+            "ts": t["ts"],
+            "o_orderkey": pa.array([0] * t.num_rows, type=pa.int64()),
+            "side": pa.array([1] * t.num_rows, type=pa.int8()),
+        })
+
+    both = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        events.map_batches(tag_events, batch_format="pyarrow")
+    )
+
+    def asof(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        timelines = {
+            k: np.sort(v["ts"].to_numpy())
+            for k, v in right.groupby("key", sort=False)
+        }
+        okeys, lasts, counts = [], [], []
+        for k, sub in left.groupby("key", sort=False):
+            tl = timelines.get(k)
+            ots = sub["ts"].to_numpy()
+            if tl is None or len(tl) == 0:
+                idx = np.zeros(len(sub), dtype=np.int64)
+                last = np.full(len(sub), np.datetime64("NaT", "us"))
+            else:
+                idx = np.searchsorted(tl, ots, side="right")
+                last = np.where(idx > 0, tl[np.maximum(idx - 1, 0)],
+                                np.datetime64("NaT", "us"))
+            okeys.append(sub["o_orderkey"].to_numpy())
+            lasts.append(last.astype("datetime64[us]"))
+            counts.append(idx)
+        if not okeys:
+            return pa.table({
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "last_event_ts": pa.array([], type=pa.timestamp("us")),
+                "n_events_before": pa.array([], type=pa.int64()),
+            })
+        return pa.table({
+            "o_orderkey": pa.array(np.concatenate(okeys), type=pa.int64()),
+            "last_event_ts": pa.Array.from_pandas(
+                pd.Series(np.concatenate(lasts)), type=pa.timestamp("us")
+            ),
+            "n_events_before": pa.array(np.concatenate(counts), type=pa.int64()),
+        })
+
+    return both.groupby("part").map_groups(asof, batch_format="pandas")
+
+
+Q_ASOF_SQL = """
+SELECT o.o_orderkey AS o_orderkey,
+       (SELECT max(e.ts) FROM events e
+         WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate) AS last_event_ts,
+       (SELECT count(*) FROM events e
+         WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate) AS n_events_before
+FROM orders o
+"""

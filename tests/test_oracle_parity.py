@@ -33,6 +33,10 @@ PARITY = [
     ("fingerprint",),
     ("jaccard_adjacent",),
     ("knn_cosine",),
+    ("running_total",),
+    ("order_rank",),
+    ("customers_no_orders",),
+    ("asof_last_event",),
 ]
 
 
