@@ -119,8 +119,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis (SQL oracles where exact)
         "doc_normalize": textops.q_doc_normalize,
         "token_count": textops.q_token_count,
+        "token_count_bpe": textops.q_token_count_bpe,
         "quality_score": textops.q_quality_score,
         "fingerprint": textops.q_fingerprint,
+        "fingerprint_rolling": textops.q_fingerprint_rolling,
+        "top_terms": textops.q_top_terms,
+        "doc_sample": textops.q_doc_sample,
         "lang_id": textops.q_lang_id,
         # dedup family
         "exact_dedup": dedup.q_exact_dedup,
@@ -154,8 +158,11 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_stats": relational.Q_LANG_SOURCE_SQL,
         "doc_normalize": textops.Q_NORMALIZE_SQL,
         "token_count": textops.Q_TOKEN_COUNT_SQL,
+        "token_count_bpe": textops.Q_TOKEN_COUNT_BPE_SQL,
         "quality_score": textops.Q_QUALITY_SQL,
         "fingerprint": textops.Q_FINGERPRINT_SQL,
+        "top_terms": textops.Q_TOP_TERMS_SQL,
+        "doc_sample": textops.Q_DOC_SAMPLE_SQL,
         "exact_dedup": dedup.Q_EXACT_DEDUP_SQL,
         "jaccard_adjacent": dedup.Q_JACCARD_ADJ_SQL,
         "knn_cosine": similarity.Q_KNN_SQL,

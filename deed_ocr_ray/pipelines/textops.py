@@ -181,3 +181,144 @@ def q_lang_id(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# BPE-ish pre-tokenizer (GPT-2-style segment classes, ASCII-simplified
+# so the Python and DuckDB/RE2 engines match byte-for-byte): runs of
+# letters, runs of digits, runs of other non-space, each with an
+# optional leading space.
+_BPE_RE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+")
+_BPE_PATTERN_SQL = " ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
+
+
+def q_token_count_bpe(sf_dir: str) -> "ray.data.Dataset":
+    """BPE-style pre-token count per doc (the token-budget estimator a
+    training pipeline runs before packing). Columns: doc_id, n_bpe."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = [len(_BPE_RE.findall(x)) for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_bpe": pa.array(n, type=pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+Q_TOKEN_COUNT_BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_PATTERN_SQL}')) AS n_bpe
+FROM documents
+"""
+
+
+# Winnowing fingerprint constants (rolling polynomial hash over char
+# k-grams, minimum per sliding window — Schleimer/Wilkerson/Aiken's
+# winnowing scheme, public algorithm).
+_WINNOW_K = 8
+_WINNOW_W = 16
+_WINNOW_BASE = 257
+_WINNOW_MOD = (1 << 61) - 1
+
+
+def winnow_fingerprints(text: str) -> List[int]:
+    """Sorted distinct winnowed fingerprints of ``text``."""
+    n = len(text)
+    if n < _WINNOW_K:
+        return []
+    import numpy as np
+
+    codes = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    # byte-level k-grams of the utf-8 encoding (deterministic across
+    # platforms; multi-byte chars just widen the effective window)
+    m = len(codes) - _WINNOW_K + 1
+    if m <= 0:
+        return []
+    h = np.zeros(m, dtype=np.uint64)
+    for i in range(_WINNOW_K):  # k is a small constant: 8 vector passes
+        h = (h * np.uint64(_WINNOW_BASE) + codes[i : i + m]) % np.uint64(_WINNOW_MOD)
+    if m <= _WINNOW_W:
+        return sorted({int(h.min())})
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(h, _WINNOW_W).min(axis=1)
+    return sorted(set(int(x) for x in mins))
+
+
+def q_fingerprint_rolling(sf_dir: str) -> "ray.data.Dataset":
+    """Winnowing fingerprint summary per doc: count of selected
+    fingerprints and the minimum one (stable content signature robust to
+    local edits). Columns: doc_id, n_fps, min_fp. (No SQL oracle:
+    algorithmic sketch.)"""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_fps, min_fp = [], []
+        for x in t["text"].to_pylist():
+            fps = winnow_fingerprints(x)
+            n_fps.append(len(fps))
+            min_fp.append(fps[0] if fps else 0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_fps": pa.array(n_fps, type=pa.int64()),
+            "min_fp": pa.array(min_fp, type=pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_top_terms(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """Global top-k terms by count — the canonical pre-aggregated
+    wordcount: per-batch Counter (combiner) shrinks the shuffle to
+    distinct terms per block before the groupby. Deterministic
+    tie-break (cnt desc, term asc). Columns: term, cnt."""
+    import collections
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for x in t["text"].to_pylist():
+            c.update(x.split())
+        return pa.table({
+            "term": pa.array(list(c.keys()), type=pa.string()),
+            "cnt": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return agg.sort(["cnt", "term"], descending=[True, False]).limit(k)
+
+
+Q_TOP_TERMS_SQL = r"""
+SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents WHERE trim(text) <> ''
+) GROUP BY term ORDER BY CAST(COUNT(*) AS BIGINT) DESC, term ASC LIMIT 20
+"""
+
+
+def q_doc_sample(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic 5% sample by key hash (doc_id mod 20 == 3) — the
+    reproducible-sampling operator (``random_sample`` is not
+    deterministic across runs). Columns: doc_id, n_chars."""
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        # doc_id % 20 == 3 via integer ops (Arrow has no modulo kernel)
+        mask = pc.equal(
+            pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 20), 20)), 3
+        )
+        return t.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+Q_DOC_SAMPLE_SQL = "SELECT doc_id, n_chars FROM documents WHERE doc_id % 20 = 3"

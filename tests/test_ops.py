@@ -139,3 +139,22 @@ def test_events_hourly_window_count(ray_session):
 
     df = q_events_hourly(SF).to_pandas()
     assert df["n_events"].sum() == 1000  # every event in exactly one window
+
+
+def test_winnow_fingerprints_deterministic_and_edit_robust():
+    from deed_ocr_ray.pipelines.textops import winnow_fingerprints
+
+    # varied text: repetitive input legitimately collapses to few
+    # distinct fingerprints, so vary every sentence
+    text = " ".join(f"sentence number {i} speaks about topic {i*i}" for i in range(40))
+    a = winnow_fingerprints(text)
+    assert a == winnow_fingerprints(text)  # deterministic
+    assert len(a) > 5
+    # a local edit changes only a bounded share of fingerprints
+    edited = text[:100] + "X" + text[101:]
+    b = winnow_fingerprints(edited)
+    overlap = len(set(a) & set(b)) / len(set(a) | set(b))
+    assert overlap > 0.7
+    # short inputs
+    assert winnow_fingerprints("") == []
+    assert winnow_fingerprints("abc") == []

@@ -37,6 +37,9 @@ PARITY = [
     ("order_rank",),
     ("customers_no_orders",),
     ("asof_last_event",),
+    ("token_count_bpe",),
+    ("top_terms",),
+    ("doc_sample",),
 ]
 
 
