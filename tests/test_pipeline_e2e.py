@@ -116,3 +116,23 @@ def test_error_rows_absorbed_not_raised(ray_session, corpus_dir, tmp_path):
     assert summary["error_counts"].get("pdf_parse_error", 0) > 0
     assert summary["error_counts"].get("decode_error", 0) > 0
     assert summary["n_ok"] + sum(summary["error_counts"].values()) == summary["n_rows"]
+
+
+def test_byte_bounded_blocks_identical_output(ray_session, corpus_dir, tmp_path):
+    """Skew guard: an aggressively small target_max_block_size (64 KiB,
+    so giant rows form single-row blocks) must not change any output
+    byte, and DataContext must be restored afterwards."""
+    import ray.data as rd
+
+    from deed_ocr_ray.pipelines.extract_pipeline import run_extract
+
+    prev = rd.DataContext.get_current().target_max_block_size
+    a = str(tmp_path / "dflt")
+    b = str(tmp_path / "tiny")
+    run_extract(corpus_dir, a, files_per_part=2, wave_parts=None, concurrency=2)
+    run_extract(corpus_dir, b, files_per_part=2, wave_parts=None, concurrency=2,
+                target_block_bytes=64 * 1024)
+    assert rd.DataContext.get_current().target_max_block_size == prev
+    ta = _canonical(pq.read_table(a))
+    tb = _canonical(pq.read_table(b))
+    assert ta.equals(tb)
