@@ -71,7 +71,12 @@ def _extract_spans_query(sf_dir: str) -> Any:
 
 def _url_dedup_query(sf_dir: str) -> Any:
     """Cross-corpus url exact dedup: first capture wins by warc_ts
-    (cross-row D1 over the synthesized pages corpus)."""
+    (cross-row D1 over the synthesized pages corpus). Coarse-partition
+    pattern: shuffle on ``hash(url) % 256``, resolve exact urls with a
+    vectorized in-partition groupby (per-key map_groups pays one UDF
+    call per mostly-singleton key)."""
+    import zlib
+
     import pandas as pd
 
     from deed_ocr_ray.pipelines.corpus import pages_corpus_for
@@ -80,11 +85,22 @@ def _url_dedup_query(sf_dir: str) -> Any:
     corpus = pages_corpus_for(sf_dir)
     ds = read_pages(corpus, columns=["url", "warc_ts"])
 
-    def first_by_ts(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("warc_ts").head(1)
-        return g
+    def add_part(t: pa.Table) -> pa.Table:
+        parts = [zlib.crc32(u.encode()) & 0xFF for u in t["url"].to_pylist()]
+        return t.append_column("part", pa.array(parts, type=pa.int32()))
 
-    return ds.groupby("url").map_groups(first_by_ts, batch_format="pandas")
+    def first_by_ts(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["url", "warc_ts"]).drop_duplicates("url", keep="first")
+        return pa.table({
+            "url": pa.array(g["url"].tolist(), type=pa.string()),
+            "warc_ts": pa.Array.from_pandas(g["warc_ts"], type=pa.timestamp("us")),
+        })
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(first_by_ts, batch_format="pandas")
+    )
 
 
 def entry() -> Any:

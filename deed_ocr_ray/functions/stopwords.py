@@ -75,8 +75,4 @@ def stopword_ratio(words, stop: FrozenSet[str]) -> float:
     """Fraction of words (already lowercased) that are stop words."""
     if not words:
         return 0.0
-    hits = 0
-    for w in words:
-        if w in stop:
-            hits += 1
-    return hits / len(words)
+    return sum(map(stop.__contains__, words)) / len(words)

@@ -81,11 +81,12 @@ class Block:
 
     def finalize(self) -> bool:
         """Normalize part texts; returns True if the block is non-empty."""
-        self.text = normalize_inline("".join(p for p, _ in self.parts))
+        parts = self.parts
+        self.text = normalize_inline("".join([p for p, _ in parts]))
         if not self.text:
             return False
         self.link_chars = 0
-        for p, in_link in self.parts:
+        for p, in_link in parts:
             if in_link:
                 self.link_chars += len(normalize_inline(p))
         return True
@@ -116,10 +117,13 @@ def segment_html(doc: str) -> List[Block]:
     n = len(doc)
 
     def flush() -> None:
+        # an empty current block carries no state (flags are only set
+        # together with a part append), so skip the reallocation
         nonlocal cur
-        if cur.parts and cur.finalize():
-            blocks.append(cur)
-        cur = Block()
+        if cur.parts:
+            if cur.finalize():
+                blocks.append(cur)
+            cur = Block()
 
     def add_text(seg: str) -> None:
         if skip_depth > 0 or not seg:
@@ -140,7 +144,8 @@ def segment_html(doc: str) -> List[Block]:
             break
         if m.start() > pos:
             add_text(doc[pos:m.start()])
-        closing, name, _attrs, self_close = m.group(1), m.group(2).lower(), m.group(3), m.group(4)
+        closing, name, self_close = m.group(1, 2, 4)
+        name = name.lower()
         pos = m.end()
 
         if not closing and name in RAW_TEXT:
