@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rank": windows.q_order_rank,
         "customers_no_orders": windows.q_customers_no_orders,
         "asof_last_event": windows.q_asof_last_event,
+        "price_quantiles": windows.q_price_quantiles,
+        "sessionize": windows.q_sessionize,
         # text analysis (SQL oracles where exact)
         "doc_normalize": textops.q_doc_normalize,
         "token_count": textops.q_token_count,
@@ -165,6 +167,8 @@ def oracle_sql() -> dict[str, str]:
         "order_rank": windows.Q_ORDER_RANK_SQL,
         "customers_no_orders": windows.Q_NO_ORDERS_SQL,
         "asof_last_event": windows.Q_ASOF_SQL,
+        "price_quantiles": windows.Q_PRICE_QUANTILES_SQL,
+        "sessionize": windows.Q_SESSIONIZE_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q6_revenue_filter": relational.Q6_SQL,
         "topk_orders": relational.Q_TOPK_SQL,

@@ -261,3 +261,129 @@ SELECT o.o_orderkey AS o_orderkey,
          WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate) AS n_events_before
 FROM orders o
 """
+
+
+# ------------------------------------------------------- grouped quantiles
+
+def _qdisc(sorted_vals: np.ndarray, q: float) -> int:
+    """DuckDB ``quantile_disc`` semantics: element at index
+    ceil(q*n) - 1 of the sorted values (probed empirically; exact order
+    statistic, so no float-interpolation drift vs the oracle)."""
+    n = len(sorted_vals)
+    idx = max(0, int(np.ceil(q * n)) - 1)
+    return int(sorted_vals[idx])
+
+
+def q_price_quantiles(sf_dir: str) -> "ray.data.Dataset":
+    """Discrete p50/p90 of order price (cents) per order priority.
+    Columns: o_orderpriority, p50_cents, p90_cents, n_orders."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "cents": pc.cast(
+                pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                         round_mode="half_towards_infinity"),
+                pa.int64(),
+            ),
+        })
+
+    def quants(g: pd.DataFrame) -> pa.Table:
+        # group = ONE priority class (few groups, so per-key map_groups
+        # is fine here — no coarse partition needed)
+        v = np.sort(g["cents"].to_numpy())
+        return pa.table({
+            "o_orderpriority": pa.array([g["o_orderpriority"].iloc[0]], type=pa.string()),
+            "p50_cents": pa.array([_qdisc(v, 0.5)], type=pa.int64()),
+            "p90_cents": pa.array([_qdisc(v, 0.9)], type=pa.int64()),
+            "n_orders": pa.array([len(v)], type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(quants, batch_format="pandas")
+    )
+
+
+Q_PRICE_QUANTILES_SQL = """
+SELECT o_orderpriority,
+       quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5) AS p50_cents,
+       quantile_disc(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.9) AS p90_cents,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------- sessionization
+
+SESSION_GAP_MIN = 30
+
+
+def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
+    """Sessionization (the streaming-window analogue, computed batch):
+    per-user event sessions split at >30-minute gaps. Coarse-partitioned
+    by user, gap/cumsum fully vectorized inside each partition.
+    Columns: user_id, session_id, session_start, session_end, n_events."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "part", pc.cast(pc.bit_wise_and(t["user_id"], N_PARTS - 1), pa.int32())
+        )
+
+    def sessions(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+        by_user = g.groupby("user_id", sort=False)
+        new_sess = (g["ts"] - by_user["ts"].shift()).gt(gap) | by_user.cumcount().eq(0)
+        g = g.assign(session_id=new_sess.groupby(g["user_id"]).cumsum().astype(np.int64))
+        agg = (
+            g.groupby(["user_id", "session_id"], sort=False)
+            .agg(session_start=("ts", "min"), session_end=("ts", "max"),
+                 n_events=("ts", "size"))
+            .reset_index()
+        )
+        return pa.table({
+            "user_id": pa.array(agg["user_id"].to_numpy(), type=pa.int64()),
+            "session_id": pa.array(agg["session_id"].to_numpy(), type=pa.int64()),
+            "session_start": pa.Array.from_pandas(agg["session_start"], type=pa.timestamp("us")),
+            "session_end": pa.Array.from_pandas(agg["session_end"], type=pa.timestamp("us")),
+            "n_events": pa.array(agg["n_events"].to_numpy(), type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+Q_SESSIONIZE_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+"""

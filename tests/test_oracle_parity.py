@@ -40,6 +40,8 @@ PARITY = [
     ("token_count_bpe",),
     ("top_terms",),
     ("doc_sample",),
+    ("price_quantiles",),
+    ("sessionize",),
 ]
 
 
