@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": relational.q_nation_revenue,
         "events_hourly": relational.q_events_hourly,
         "lang_source_stats": relational.q_lang_source_stats,
+        "region_part_revenue": relational.q_region_part_revenue,
         # window / join operators (SQL oracles)
         "running_total": windows.q_running_total,
         "order_rank": windows.q_order_rank,
@@ -176,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue": relational.Q_NATION_SQL,
         "events_hourly": relational.Q_EVENTS_SQL,
         "lang_source_stats": relational.Q_LANG_SOURCE_SQL,
+        "region_part_revenue": relational.Q_REGION_PART_SQL,
         "doc_normalize": textops.Q_NORMALIZE_SQL,
         "token_count": textops.Q_TOKEN_COUNT_SQL,
         "token_count_bpe": textops.Q_TOKEN_COUNT_BPE_SQL,

@@ -331,3 +331,80 @@ SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY 1
 """
+
+
+def q_region_part_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """5-table star join via composed broadcast lookups: lineitem joined
+    to part (p_type) and supplier->nation->region (r_name), grouped by
+    (r_name, p_type). The dimension tables are the canonical broadcast
+    small sides (built once driver-side; at cluster scale: ray.put +
+    actor __init__); only the pre-aggregated partials shuffle.
+    Columns: r_name, p_type, n_items, revenue_cents."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    rname = dict(zip(region.column("r_regionkey").to_pylist(),
+                     region.column("r_name").to_pylist()))
+    nregion = {nk: rname.get(rk, "UNKNOWN")
+               for nk, rk in zip(nation.column("n_nationkey").to_pylist(),
+                                 nation.column("n_regionkey").to_pylist())}
+    region_of_supp = {sk: nregion.get(nk, "UNKNOWN")
+                      for sk, nk in zip(supp.column("s_suppkey").to_pylist(),
+                                        supp.column("s_nationkey").to_pylist())}
+    type_of_part = dict(zip(part.column("p_partkey").to_pylist(),
+                            part.column("p_type").to_pylist()))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        # revenue cents = floor(ep*(1-disc)*100 + 0.5): same IEEE double
+        # expression as the oracle -> bit-identical integers
+        rev = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            100.0), 0.5)), pa.int64())
+        rn = [region_of_supp.get(k, "UNKNOWN") for k in t["l_suppkey"].to_pylist()]
+        pt = [type_of_part.get(k, "UNKNOWN") for k in t["l_partkey"].to_pylist()]
+        t2 = pa.table({
+            "r_name": pa.array(rn, type=pa.string()),
+            "p_type": pa.array(pt, type=pa.string()),
+            "rev": rev,
+        })
+        return t2.group_by(["r_name", "p_type"]).aggregate(
+            [("rev", "sum"), ("rev", "count")]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["r_name", "p_type"]).aggregate(
+        Sum("rev_sum", alias_name="revenue_cents"),
+        Sum("rev_count", alias_name="n_items"),
+    )
+    return agg.map_batches(
+        lambda t: pa.table({
+            "r_name": t["r_name"],
+            "p_type": t["p_type"],
+            "n_items": t["n_items"].cast(pa.int64()),
+            "revenue_cents": t["revenue_cents"].cast(pa.int64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+
+Q_REGION_PART_SQL = """
+SELECT r_name, p_type,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY 1, 2
+"""

@@ -9,7 +9,7 @@ import pandas as pd
 import pytest
 
 SF = "/root/testdata/sf0.001"
-TABLES = ["lineitem", "orders", "customer", "nation", "events", "documents", "embeddings"]
+TABLES = ["lineitem", "orders", "customer", "supplier", "part", "nation", "region", "events", "documents", "embeddings"]
 
 
 @pytest.fixture(scope="module")
@@ -42,6 +42,7 @@ PARITY = [
     ("doc_sample",),
     ("price_quantiles",),
     ("sessionize",),
+    ("region_part_revenue",),
 ]
 
 
