@@ -33,7 +33,11 @@ BENCH_SEED = 1337
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "nation_revenue",
+    "region_part_revenue",
     "events_hourly",
+    "running_total",
+    "asof_last_event",
+    "sessionize",
     "token_count",
     "quality_score",
     "exact_dedup",
