@@ -111,7 +111,7 @@ def main() -> None:
         return
 
     _init_ray(NUM_CPUS)
-    repeats = 3 if "--headline-only" in sys.argv else 1
+    repeats = 3 if "--headline-only" in sys.argv else 2
     headline = run_headline(NUM_CPUS, repeats=repeats)
 
     result = {
