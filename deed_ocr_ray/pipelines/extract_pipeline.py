@@ -43,6 +43,7 @@ from ..state.manifest import (
     dir_bytes,
     lineage_id,
     load_manifests,
+    manifest_path,
     part_dir,
     write_manifest,
 )
@@ -125,8 +126,23 @@ def run_extract(
     parts = plan_partitions(shards, files_per_part)
 
     if resume:
-        completed = load_manifests(out_dir)
+        # A manifest only proves ITS input files were processed: if the
+        # shard list changed between runs (a new shard sorting into the
+        # middle re-shuffles the partition plan), part_id K may now mean
+        # different files. Validate content-derived lineage and treat
+        # mismatches as incomplete, so changed partitions re-process
+        # instead of being silently skipped with wrong data.
+        completed = {
+            pid: m
+            for pid, m in load_manifests(out_dir).items()
+            if pid < len(parts) and m.get("lineage_id") == lineage_id(parts[pid])
+        }
         clear_stale_partitions(out_dir, completed)
+        for pid in set(load_manifests(out_dir)) - set(completed):
+            try:
+                os.remove(manifest_path(out_dir, pid))
+            except OSError:
+                pass
     else:
         if os.path.isdir(out_dir):
             import shutil

@@ -136,3 +136,30 @@ def test_byte_bounded_blocks_identical_output(ray_session, corpus_dir, tmp_path)
     ta = _canonical(pq.read_table(a))
     tb = _canonical(pq.read_table(b))
     assert ta.equals(tb)
+
+
+def test_resume_detects_changed_shard_plan(ray_session, tmp_path):
+    """Lineage validation on resume: a new shard that sorts into the
+    middle re-shuffles the partition plan; stale manifests must NOT be
+    trusted — the resumed output must equal a fresh full run."""
+    from deed_ocr_ray.fixtures import build_pages_table, write_pages_corpus
+    from deed_ocr_ray.pipelines.extract_pipeline import run_extract
+
+    corpus = str(tmp_path / "pages")
+    write_pages_corpus(corpus, 120, seed=5, n_shards=4)
+    out = str(tmp_path / "out")
+    run_extract(corpus, out, files_per_part=1, wave_parts=None, concurrency=2)
+
+    # new shard sorting between shard_0001 and shard_0002
+    extra = build_pages_table(777, range(120, 150), 65536)
+    pq.write_table(extra, os.path.join(corpus, "shard_0001a.parquet"))
+
+    summary = run_extract(corpus, out, resume=True, files_per_part=1,
+                          wave_parts=None, concurrency=2)
+    # parts 0-1 keep their lineage; the insertion shifts every later part
+    assert summary["parts_skipped"] == 2
+    assert summary["n_rows"] == 150
+
+    fresh = str(tmp_path / "fresh")
+    run_extract(corpus, fresh, files_per_part=1, wave_parts=None, concurrency=2)
+    assert _canonical(pq.read_table(out)).equals(_canonical(pq.read_table(fresh)))
