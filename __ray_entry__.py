@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": textops.q_top_terms,
         "doc_sample": textops.q_doc_sample,
         "lang_id": textops.q_lang_id,
+        "line_repetition": textops.q_line_repetition,
+        "compress_ratio": textops.q_compress_ratio,
         # dedup family
         "exact_dedup": dedup.q_exact_dedup,
         "minhash_pairs": dedup.q_minhash_pairs,
@@ -185,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": textops.Q_FINGERPRINT_SQL,
         "top_terms": textops.Q_TOP_TERMS_SQL,
         "doc_sample": textops.Q_DOC_SAMPLE_SQL,
+        "line_repetition": textops.Q_LINE_REPETITION_SQL,
         "exact_dedup": dedup.Q_EXACT_DEDUP_SQL,
         "jaccard_adjacent": dedup.Q_JACCARD_ADJ_SQL,
         "knn_cosine": similarity.Q_KNN_SQL,

@@ -322,3 +322,56 @@ def q_doc_sample(sf_dir: str) -> "ray.data.Dataset":
 
 
 Q_DOC_SAMPLE_SQL = "SELECT doc_id, n_chars FROM documents WHERE doc_id % 20 = 3"
+
+
+def q_line_repetition(sf_dir: str) -> "ray.data.Dataset":
+    """Gopher-style repetition signal: duplicate-line counts per doc
+    (high duplicate-line fraction flags boilerplate/spam for corpus
+    filtering). Columns: doc_id, n_lines, n_dup_lines."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_lines, n_dup = [], []
+        for x in t["text"].to_pylist():
+            lines = x.split("\n")
+            n_lines.append(len(lines))
+            n_dup.append(len(lines) - len(set(lines)))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_lines": pa.array(n_lines, type=pa.int64()),
+            "n_dup_lines": pa.array(n_dup, type=pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+Q_LINE_REPETITION_SQL = """
+SELECT doc_id,
+       len(str_split(text, chr(10))) AS n_lines,
+       len(str_split(text, chr(10)))
+         - len(list_distinct(str_split(text, chr(10)))) AS n_dup_lines
+FROM documents
+"""
+
+
+def q_compress_ratio(sf_dir: str) -> "ray.data.Dataset":
+    """Compression-ratio quality signal (zlib level 6): highly
+    compressible text is repetitive boilerplate — the classic cheap
+    stand-in for n-gram repetition filters. Integer parts-per-thousand.
+    Columns: doc_id, compressed_permille. (No SQL oracle: zlib is not
+    available in SQL; deterministic across runs for a pinned zlib.)"""
+    import zlib
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        vals = []
+        for x in t["text"].to_pylist():
+            raw = x.encode("utf-8")
+            vals.append((len(zlib.compress(raw, 6)) * 1000) // len(raw) if raw else 0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "compressed_permille": pa.array(vals, type=pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -43,6 +43,7 @@ PARITY = [
     ("price_quantiles",),
     ("sessionize",),
     ("region_part_revenue",),
+    ("line_repetition",),
 ]
 
 
