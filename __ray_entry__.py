@@ -111,7 +111,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from deed_ocr_ray.pipelines import (
-        dedup, multimodal, relational, similarity, textops, windows,
+        dedup, multimodal, packing, relational, similarity, textops, windows,
     )
 
     return {
@@ -147,6 +147,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textops.q_lang_id,
         "line_repetition": textops.q_line_repetition,
         "compress_ratio": textops.q_compress_ratio,
+        # packing / iterative (prefix-sum + Lloyd's)
+        "pack_windows": packing.q_pack_windows,
+        "kmeans": packing.q_kmeans,
         # dedup family
         "exact_dedup": dedup.q_exact_dedup,
         "minhash_pairs": dedup.q_minhash_pairs,
@@ -163,7 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from deed_ocr_ray.pipelines import dedup, relational, similarity, textops, windows
+    from deed_ocr_ray.pipelines import (
+        dedup, packing, relational, similarity, textops, windows,
+    )
 
     return {
         "running_total": windows.Q_RUNNING_TOTAL_SQL,
@@ -188,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": textops.Q_TOP_TERMS_SQL,
         "doc_sample": textops.Q_DOC_SAMPLE_SQL,
         "line_repetition": textops.Q_LINE_REPETITION_SQL,
+        "pack_windows": packing.Q_PACK_WINDOWS_SQL,
         "exact_dedup": dedup.Q_EXACT_DEDUP_SQL,
         "jaccard_adjacent": dedup.Q_JACCARD_ADJ_SQL,
         "knn_cosine": similarity.Q_KNN_SQL,

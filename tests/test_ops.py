@@ -158,3 +158,14 @@ def test_winnow_fingerprints_deterministic_and_edit_robust():
     # short inputs
     assert winnow_fingerprints("") == []
     assert winnow_fingerprints("abc") == []
+
+
+def test_kmeans_deterministic_and_valid(ray_session):
+    from deed_ocr_ray.pipelines.packing import K_CLUSTERS, q_kmeans
+
+    sf = "/root/testdata/sf0.001"
+    a = q_kmeans(sf).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    b = q_kmeans(sf).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)  # iterative but deterministic
+    assert a["cluster"].between(0, K_CLUSTERS - 1).all()
+    assert a["cluster"].nunique() > 1  # did not collapse

@@ -44,6 +44,7 @@ PARITY = [
     ("sessionize",),
     ("region_part_revenue",),
     ("line_repetition",),
+    ("pack_windows",),
 ]
 
 
