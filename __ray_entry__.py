@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textops.q_lang_id,
         "line_repetition": textops.q_line_repetition,
         "compress_ratio": textops.q_compress_ratio,
+        "corpus_filter": textops.q_corpus_filter,
         # packing / iterative (prefix-sum + Lloyd's)
         "pack_windows": packing.q_pack_windows,
         "kmeans": packing.q_kmeans,
@@ -194,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": textops.Q_DOC_SAMPLE_SQL,
         "line_repetition": textops.Q_LINE_REPETITION_SQL,
         "pack_windows": packing.Q_PACK_WINDOWS_SQL,
+        "corpus_filter": textops.Q_CORPUS_FILTER_SQL,
         "exact_dedup": dedup.Q_EXACT_DEDUP_SQL,
         "jaccard_adjacent": dedup.Q_JACCARD_ADJ_SQL,
         "knn_cosine": similarity.Q_KNN_SQL,

@@ -375,3 +375,63 @@ def q_compress_ratio(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# Corpus-filter thresholds (frozen; Gopher-rule-style composition)
+FILTER_MIN_WORDS = 30
+FILTER_MAX_WORDS = 5000
+FILTER_MAX_DUP_LINE_FRAC_PERMILLE = 300
+FILTER_MIN_MEAN_WORD_MILLI = 3000
+FILTER_MAX_MEAN_WORD_MILLI = 12000
+
+
+def q_corpus_filter(sf_dir: str) -> "ray.data.Dataset":
+    """The composed corpus-cleaning pipeline: keep documents passing all
+    quality gates (word-count band, duplicate-line fraction, mean word
+    length band) — one single-pass map computing every signal at once,
+    integer-exact. Columns: doc_id, words, n_dup_lines."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, words_l, dups_l = [], [], []
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            w = len(x.split())
+            if not (FILTER_MIN_WORDS <= w <= FILTER_MAX_WORDS):
+                continue
+            lines = x.split("\n")
+            dup = len(lines) - len(set(lines))
+            if (dup * 1000) // len(lines) > FILTER_MAX_DUP_LINE_FRAC_PERMILLE:
+                continue
+            nonspace = len(x) - x.count(" ")
+            mwm = (nonspace * 1000) // w
+            if not (FILTER_MIN_MEAN_WORD_MILLI <= mwm <= FILTER_MAX_MEAN_WORD_MILLI):
+                continue
+            ids.append(did)
+            words_l.append(w)
+            dups_l.append(dup)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "words": pa.array(words_l, type=pa.int64()),
+            "n_dup_lines": pa.array(dups_l, type=pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+Q_CORPUS_FILTER_SQL = rf"""
+WITH sig AS (
+  SELECT doc_id,
+         CASE WHEN trim(text)='' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS words,
+         len(str_split(text, chr(10))) AS n_lines,
+         len(str_split(text, chr(10)))
+           - len(list_distinct(str_split(text, chr(10)))) AS n_dup_lines,
+         length(replace(text, ' ', '')) AS nonspace
+  FROM documents
+)
+SELECT doc_id, words, n_dup_lines FROM sig
+WHERE words BETWEEN {FILTER_MIN_WORDS} AND {FILTER_MAX_WORDS}
+  AND (n_dup_lines * 1000) // n_lines <= {FILTER_MAX_DUP_LINE_FRAC_PERMILLE}
+  AND (nonspace * 1000) // words
+      BETWEEN {FILTER_MIN_MEAN_WORD_MILLI} AND {FILTER_MAX_MEAN_WORD_MILLI}
+"""

@@ -45,6 +45,7 @@ PARITY = [
     ("region_part_revenue",),
     ("line_repetition",),
     ("pack_windows",),
+    ("corpus_filter",),
 ]
 
 
