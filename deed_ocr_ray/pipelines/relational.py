@@ -104,9 +104,19 @@ def q6_revenue_filter(sf_dir: str) -> "ray.data.Dataset":
 
     Columns: revenue, n_rows.
     """
+    import pyarrow.dataset as pads
+
+    # predicate pushdown to the scan: row groups whose stats exclude the
+    # range never leave storage ("prune at the read"); the in-batch mask
+    # below stays as the correctness-independent belt-and-suspenders.
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_quantity", "l_extendedprice", "l_discount"],
+        filter=(
+            (pads.field("l_discount") >= 0.02)
+            & (pads.field("l_discount") <= 0.04)
+            & (pads.field("l_quantity") < 10.0)
+        ),
     )
 
     def partial(t: pa.Table) -> pa.Table:
