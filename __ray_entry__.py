@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.q_events_hourly,
         "lang_source_stats": relational.q_lang_source_stats,
         "region_part_revenue": relational.q_region_part_revenue,
+        "daily_active_users": relational.q_daily_active_users,
         # window / join operators (SQL oracles)
         "running_total": windows.q_running_total,
         "order_rank": windows.q_order_rank,
@@ -186,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": relational.Q_EVENTS_SQL,
         "lang_source_stats": relational.Q_LANG_SOURCE_SQL,
         "region_part_revenue": relational.Q_REGION_PART_SQL,
+        "daily_active_users": relational.Q_DAU_SQL,
         "doc_normalize": textops.Q_NORMALIZE_SQL,
         "token_count": textops.Q_TOKEN_COUNT_SQL,
         "token_count_bpe": textops.Q_TOKEN_COUNT_BPE_SQL,

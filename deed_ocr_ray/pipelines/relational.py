@@ -418,3 +418,49 @@ JOIN nation ON n_nationkey = s_nationkey
 JOIN region ON r_regionkey = n_regionkey
 GROUP BY 1, 2
 """
+
+
+def q_daily_active_users(sf_dir: str) -> "ray.data.Dataset":
+    """Exact distinct-count: daily active users + event counts. The
+    distinct is pre-shrunk per batch ((day, user) dedup inside the map)
+    so the shuffle carries unique pairs, then a per-day group counts
+    them (day cardinality is small, so per-key map_groups is fine).
+    Columns: day, dau, n_events."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "day": pd.Series(t["ts"].to_pandas()).dt.strftime("%Y-%m-%d"),
+            "user_id": t["user_id"].to_pandas(),
+        })
+        g = df.groupby(["day", "user_id"], sort=False).size().reset_index(name="n")
+        return pa.table({
+            "day": pa.array(g["day"], type=pa.string()),
+            "user_id": pa.array(g["user_id"], type=pa.int64()),
+            "n": pa.array(g["n"], type=pa.int64()),
+        })
+
+    uniq = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def per_day(g: "pd.DataFrame") -> pa.Table:
+        return pa.table({
+            "day": pa.array([g["day"].iloc[0]], type=pa.string()),
+            "dau": pa.array([g["user_id"].nunique()], type=pa.int64()),
+            "n_events": pa.array([int(g["n"].sum())], type=pa.int64()),
+        })
+
+    return uniq.groupby("day").map_groups(per_day, batch_format="pandas")
+
+
+Q_DAU_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT user_id) AS dau,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""

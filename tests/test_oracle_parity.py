@@ -46,6 +46,7 @@ PARITY = [
     ("line_repetition",),
     ("pack_windows",),
     ("corpus_filter",),
+    ("daily_active_users",),
 ]
 
 
