@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": dedup.q_simhash,
         "simhash_near_pairs": dedup.q_simhash_near_pairs,
         "jaccard_adjacent": dedup.q_jaccard_adjacent,
+        "hll_users": dedup.q_hll_users,
         # similarity search
         "knn_cosine": similarity.q_knn_cosine,
         "knn_ivf": similarity.q_knn_ivf,

@@ -368,3 +368,73 @@ Q_JACCARD_ADJ_SQL = """
 SELECT b.doc_id AS doc_id, jaccard(b.text, a.text) AS jacc
 FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 """
+
+
+# ------------------------------------------------------- HyperLogLog sketch
+
+HLL_P = 12  # 2^12 registers -> ~1.6% standard error
+
+
+def _hll_registers(ids: np.ndarray) -> np.ndarray:
+    """Register array for a batch of 64-bit-hashed ids (vectorized)."""
+    # splitmix64-style avalanche (public constant mixing)
+    x = ids.astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x ^= x >> np.uint64(30); x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27); x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    bucket = (x >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = x << np.uint64(HLL_P)  # remaining 64-p bits, left-aligned
+    # rank = leading zeros of rest + 1 (capped)
+    rank = np.ones(len(x), dtype=np.uint8)
+    cur = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+        rank[mask] += np.uint8(shift)
+        cur[mask] = cur[mask] << np.uint64(shift)
+    regs = np.zeros(1 << HLL_P, dtype=np.uint8)
+    np.maximum.at(regs, bucket, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Raw HLL estimate with the standard small-range (linear counting)
+    correction — the original Flajolet et al. formulas."""
+    m = float(len(regs))
+    inv = np.power(2.0, -regs.astype(np.float64)).sum()
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / inv
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)
+    return e
+
+
+def q_hll_users(sf_dir: str) -> "ray.data.Dataset":
+    """Approximate distinct user count over events via a mergeable
+    HyperLogLog: each batch emits its register array (4 KiB), registers
+    OR-merge driver-side (at cluster scale: tree-reduce the tiny
+    sketches). Self-validating output row carries the exact count too.
+    Columns: estimate, exact, rel_err_pct. (No SQL oracle: sketch.)"""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        regs = _hll_registers(t["user_id"].to_numpy().astype(np.uint64))
+        return pa.table({"regs": pa.array([regs.tolist()], type=pa.list_(pa.uint8()))})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow").take_all()
+    merged = np.zeros(1 << HLL_P, dtype=np.uint8)
+    for r in parts:
+        merged = np.maximum(merged, np.asarray(r["regs"], dtype=np.uint8))
+    est = hll_estimate(merged)
+
+    import duckdb  # exact side for self-validation (tiny query)
+
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    rel = abs(est - exact) / exact * 100.0 if exact else 0.0
+    return ray.data.from_items([{
+        "estimate": int(round(est)), "exact": int(exact),
+        "rel_err_pct": round(rel, 2),
+    }])

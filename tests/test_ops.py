@@ -169,3 +169,22 @@ def test_kmeans_deterministic_and_valid(ray_session):
     assert a.equals(b)  # iterative but deterministic
     assert a["cluster"].between(0, K_CLUSTERS - 1).all()
     assert a["cluster"].nunique() > 1  # did not collapse
+
+
+def test_hll_estimate_accuracy(ray_session):
+    import numpy as np
+
+    from deed_ocr_ray.pipelines.dedup import _hll_registers, hll_estimate, q_hll_users
+
+    # pure-sketch accuracy on known cardinalities
+    for n in (100, 5000, 100000):
+        ids = np.arange(n, dtype=np.uint64) * 2654435761 + 7
+        est = hll_estimate(_hll_registers(ids))
+        assert abs(est - n) / n < 0.05, (n, est)
+    # mergeability: union of two halves == whole
+    a = np.arange(0, 3000, dtype=np.uint64)
+    regs = np.maximum(_hll_registers(a[:1500]), _hll_registers(a[1500:]))
+    assert np.array_equal(regs, _hll_registers(a))
+
+    row = q_hll_users("/root/testdata/sf0.001").to_pandas().iloc[0]
+    assert row["rel_err_pct"] < 5.0
