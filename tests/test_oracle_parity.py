@@ -71,3 +71,17 @@ def test_entry_smoke(ray_session):
     assert n == 500
     cols = set(ds.schema().names)
     assert {"url", "payload_kind", "status", "n_chars"} <= cols
+
+
+def test_driver_contract_consistency():
+    """Every oracle key must have a query; callables take one sf_dir arg."""
+    import inspect
+
+    import __ray_entry__ as ent
+
+    qs, oq = ent.queries(), ent.oracle_sql()
+    assert set(oq) <= set(qs), set(oq) - set(qs)
+    for name, fn in qs.items():
+        params = [p for p in inspect.signature(fn).parameters.values()
+                  if p.default is inspect.Parameter.empty]
+        assert len(params) == 1, name
