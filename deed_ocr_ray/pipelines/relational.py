@@ -174,34 +174,56 @@ LIMIT 10
 """
 
 
+class _KeyedLookupPartial:
+    """Actor: keyed broadcast lookup + per-batch partial aggregate. The
+    lookup dict is fetched ONCE per actor from the object store
+    (``ray.put`` on the driver) — the canonical small-side broadcast
+    join: no shuffle, nothing re-shipped per batch."""
+
+    def __init__(self, lookup_ref, key_col: str, out_col: str) -> None:
+        import ray as _ray
+
+        self.lookup = _ray.get(lookup_ref)
+        self.key_col = key_col
+        self.out_col = out_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        keys = t[self.key_col].to_pylist()
+        names = [self.lookup.get(k, "UNKNOWN") for k in keys]
+        t2 = pa.table({
+            self.out_col: pa.array(names, type=pa.string()),
+            "price_c": _cents(t["o_totalprice"]),
+        })
+        return t2.group_by(self.out_col).aggregate(
+            [("price_c", "sum"), ("price_c", "count")]
+        )
+
+
 def q_mktsegment_orders(sf_dir: str) -> "ray.data.Dataset":
-    """Broadcast join orders ⋈ customer (small dim side shipped to every
-    batch task — no shuffle), grouped by market segment.
+    """Broadcast join orders ⋈ customer (small dim side broadcast once
+    via the object store — no shuffle), grouped by market segment.
 
     Columns: c_mktsegment, n_orders, total_price.
     """
     import pyarrow.parquet as pq
 
+    import ray as _ray
+
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     seg_of = dict(zip(cust.column("c_custkey").to_pylist(),
                       cust.column("c_mktsegment").to_pylist()))
-    # NOTE: at cluster scale wrap `seg_of` in ray.put() once and ray.get
-    # it in an actor __init__; a plain closure capture serializes it per
-    # task, which is fine for a dimension table this small.
+    # canonical broadcast: ray.put the dim table ONCE; each actor fetches
+    # it in __init__ (never re-shipped per batch)
+    seg_ref = _ray.put(seg_of)
 
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                columns=["o_custkey", "o_totalprice"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        keys = t["o_custkey"].to_pylist()
-        segs = [seg_of.get(k, "UNKNOWN") for k in keys]
-        t2 = pa.table({
-            "c_mktsegment": pa.array(segs, type=pa.string()),
-            "price_c": _cents(t["o_totalprice"]),
-        })
-        return t2.group_by("c_mktsegment").aggregate([("price_c", "sum"), ("price_c", "count")])
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(
+        _KeyedLookupPartial,
+        fn_constructor_args=(seg_ref, "o_custkey", "c_mktsegment"),
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
     agg = partials.groupby("c_mktsegment").aggregate(
         Sum("price_c_sum", alias_name="cents"),
         Sum("price_c_count", alias_name="n_orders"),
@@ -243,16 +265,17 @@ def q_nation_revenue(sf_dir: str) -> "ray.data.Dataset":
                           cust.column("c_nationkey").to_pylist())
     }
 
+    import ray as _ray
+
+    nation_ref = _ray.put(nation_of)  # broadcast once (see _KeyedLookupPartial)
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                columns=["o_custkey", "o_totalprice"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        names = [nation_of.get(k, "UNKNOWN") for k in t["o_custkey"].to_pylist()]
-        t2 = pa.table({"n_name": pa.array(names, type=pa.string()),
-                       "price_c": _cents(t["o_totalprice"])})
-        return t2.group_by("n_name").aggregate([("price_c", "sum"), ("price_c", "count")])
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = ds.map_batches(
+        _KeyedLookupPartial,
+        fn_constructor_args=(nation_ref, "o_custkey", "n_name"),
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
     agg = partials.groupby("n_name").aggregate(
         Sum("price_c_sum", alias_name="cents"),
         Sum("price_c_count", alias_name="n_orders"),
@@ -367,30 +390,43 @@ def q_region_part_revenue(sf_dir: str) -> "ray.data.Dataset":
     type_of_part = dict(zip(part.column("p_partkey").to_pylist(),
                             part.column("p_type").to_pylist()))
 
+    import ray as _ray
+
+    dims_ref = _ray.put((region_of_supp, type_of_part))  # broadcast once
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
 
-    def partial(t: pa.Table) -> pa.Table:
-        # revenue cents = floor(ep*(1-disc)*100 + 0.5): same IEEE double
-        # expression as the oracle -> bit-identical integers
-        rev = pc.cast(pc.floor(pc.add(pc.multiply(
-            pc.multiply(t["l_extendedprice"],
-                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
-            100.0), 0.5)), pa.int64())
-        rn = [region_of_supp.get(k, "UNKNOWN") for k in t["l_suppkey"].to_pylist()]
-        pt = [type_of_part.get(k, "UNKNOWN") for k in t["l_partkey"].to_pylist()]
-        t2 = pa.table({
-            "r_name": pa.array(rn, type=pa.string()),
-            "p_type": pa.array(pt, type=pa.string()),
-            "rev": rev,
-        })
-        return t2.group_by(["r_name", "p_type"]).aggregate(
-            [("rev", "sum"), ("rev", "count")]
-        )
+    class StarPartial:
+        """Actor: both dim lookups fetched once per actor."""
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+        def __init__(self) -> None:
+            self.region_of_supp, self.type_of_part = _ray.get(dims_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            # revenue cents = floor(ep*(1-disc)*100 + 0.5): same IEEE
+            # double expression as the oracle -> bit-identical integers
+            rev = pc.cast(pc.floor(pc.add(pc.multiply(
+                pc.multiply(t["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                100.0), 0.5)), pa.int64())
+            rn = [self.region_of_supp.get(k, "UNKNOWN")
+                  for k in t["l_suppkey"].to_pylist()]
+            pt = [self.type_of_part.get(k, "UNKNOWN")
+                  for k in t["l_partkey"].to_pylist()]
+            t2 = pa.table({
+                "r_name": pa.array(rn, type=pa.string()),
+                "p_type": pa.array(pt, type=pa.string()),
+                "rev": rev,
+            })
+            return t2.group_by(["r_name", "p_type"]).aggregate(
+                [("rev", "sum"), ("rev", "count")]
+            )
+
+    partials = ds.map_batches(StarPartial, batch_format="pyarrow",
+                              concurrency=(1, 4))
     agg = partials.groupby(["r_name", "p_type"]).aggregate(
         Sum("rev_sum", alias_name="revenue_cents"),
         Sum("rev_count", alias_name="n_items"),
