@@ -131,6 +131,10 @@ def main(argv: Optional[list] = None) -> int:
         args.wave_parts = None
     try:
         return args.fn(args)
+    except (FileNotFoundError, ValueError) as exc:
+        # predictable user errors: clean message, no traceback
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
     finally:
         import ray
 
