@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_pairs": dedup.q_simhash_near_pairs,
         "jaccard_adjacent": dedup.q_jaccard_adjacent,
         "hll_users": dedup.q_hll_users,
+        "minhash_validate": dedup.q_minhash_validate,
         # similarity search
         "knn_cosine": similarity.q_knn_cosine,
         "knn_ivf": similarity.q_knn_ivf,

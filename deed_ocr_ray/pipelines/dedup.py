@@ -60,12 +60,16 @@ FROM documents GROUP BY 1
 N_PERM = 64
 N_BANDS = 16
 ROWS_PER_BAND = N_PERM // N_BANDS
-_MERSENNE = np.uint64((1 << 61) - 1)
 _rng = np.random.RandomState(0xC0FFEE)
-# a < 2^29 keeps a*h (h < 2^32) under 2^61: the modular permutation is
-# overflow-free in uint64 — fully vectorized, no big-int fallback.
-_PERM_A = _rng.randint(1, 1 << 29, size=N_PERM).astype(np.uint64)
-_PERM_B = _rng.randint(0, 1 << 29, size=N_PERM).astype(np.uint64)
+# Multiply-shift universal hashing with FULL-WIDTH uint64 wraparound:
+# sig_j = min_s (a_j * h(s) + b_j mod 2^64). The wraparound is what makes
+# each permutation non-monotone. (A first cut used (a*h+b) mod 2^61-1
+# with a < 2^29, h < 2^32 to stay overflow-free — but then a*h+b can
+# NEVER wrap, the map is monotone in h, every permutation selects the
+# same minimum shingle, and MinHash degenerates to "equal min shingle
+# => identical signature"; caught by q_minhash_validate.)
+_PERM_A = (_rng.randint(0, 1 << 62, size=N_PERM).astype(np.uint64) << np.uint64(1)) | np.uint64(1)  # odd
+_PERM_B = _rng.randint(0, 1 << 62, size=N_PERM).astype(np.uint64)
 _FNV = np.uint32(16777619)
 
 
@@ -101,9 +105,11 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
 
 def minhash_signature(text: str) -> np.ndarray:
     """64-perm MinHash signature (uint64[64]), vectorized:
-    sig_j = min_s (a_j * h(s) + b_j) mod (2^61 - 1)."""
+    sig_j = min_s (a_j * h(s) + b_j mod 2^64) — multiply-shift family,
+    wraparound intended (see _PERM_A note)."""
     h = _shingle_hashes(text).astype(np.uint64)
-    vals = (_PERM_A[:, None] * h[None, :] + _PERM_B[:, None]) % _MERSENNE
+    with np.errstate(over="ignore"):
+        vals = _PERM_A[:, None] * h[None, :] + _PERM_B[:, None]
     return vals.min(axis=1)
 
 
@@ -438,3 +444,44 @@ def q_hll_users(sf_dir: str) -> "ray.data.Dataset":
         "estimate": int(round(est)), "exact": int(exact),
         "rel_err_pct": round(rel, 2),
     }])
+
+
+# ----------------------------------------------- minhash estimate validation
+
+def q_minhash_validate(sf_dir: str) -> "ray.data.Dataset":
+    """For every MinHash-LSH pair, compute the EXACT word-shingle
+    Jaccard alongside the signature estimate (the sketch-quality audit a
+    production dedup pipeline ships with). Shingle-hash sets are
+    broadcast like the signature store. Columns: doc_a, doc_b,
+    est_jaccard, exact_jaccard. (No SQL oracle: sketch internals.)"""
+    import ray as _ray
+
+    pairs = q_minhash_pairs(sf_dir)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def shingles(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "sh": pa.array(
+                [_shingle_hashes(x).tolist() for x in t["text"].to_pylist()],
+                type=pa.list_(pa.uint32())),
+        })
+
+    rows = ds.map_batches(shingles, batch_format="pyarrow").take_all()
+    store = {int(r["doc_id"]): frozenset(r["sh"]) for r in rows}
+    ref = _ray.put(store)
+
+    class Exact:
+        def __init__(self) -> None:
+            self.store = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ex = []
+            for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+                sa, sb = self.store[int(a)], self.store[int(b)]
+                u = len(sa | sb)
+                ex.append(len(sa & sb) / u if u else 0.0)
+            return t.append_column("exact_jaccard", pa.array(ex, type=pa.float64()))
+
+    return pairs.map_batches(Exact, batch_format="pyarrow", concurrency=(1, 4))

@@ -188,3 +188,13 @@ def test_hll_estimate_accuracy(ray_session):
 
     row = q_hll_users("/root/testdata/sf0.001").to_pandas().iloc[0]
     assert row["rel_err_pct"] < 5.0
+
+
+def test_minhash_estimates_track_exact_jaccard(ray_session):
+    from deed_ocr_ray.pipelines.dedup import q_minhash_validate
+
+    df = q_minhash_validate("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    err = (df["est_jaccard"] - df["exact_jaccard"]).abs()
+    assert err.mean() < 0.08       # 64 perms -> ~1/8 std error per pair
+    assert (err < 0.3).all()
