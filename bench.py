@@ -183,8 +183,12 @@ def scaling_mode() -> None:
             [sys.executable, __file__, "--headline-only"],
             env=env, capture_output=True, text=True, timeout=1800,
         )
-        line = out.stdout.strip().splitlines()[-1]
-        runs[ncpu] = json.loads(line)
+        lines = out.stdout.strip().splitlines()
+        if out.returncode != 0 or not lines:
+            sys.stderr.write(f"headline subprocess (num_cpus={ncpu}) failed "
+                             f"rc={out.returncode}\n{out.stderr[-2000:]}\n")
+            sys.exit(1)
+        runs[ncpu] = json.loads(lines[-1])
 
     r_lo = runs[lo]["extract_docs_per_sec"]
     r_hi = runs[hi]["extract_docs_per_sec"]
