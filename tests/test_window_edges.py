@@ -1,0 +1,106 @@
+"""Edge-case tests for the window/as-of/session operators on CRAFTED
+tables (exact timestamp ties, gap-boundary values, singleton keys) —
+cases the random testdata essentially never produces — cross-checked
+against DuckDB running the operator's own oracle SQL on the same files.
+"""
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+MIN = dt.timedelta(minutes=1)
+US = dt.timedelta(microseconds=1)
+
+
+@pytest.fixture(scope="module")
+def crafted_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("crafted_sf")
+    # events: user 1 -> exact-tie pair at T0, gap exactly 30 min (same
+    # session), then 30 min + 1 us (new session); user 2 -> singleton;
+    # user 3 -> duplicated (user, ts) triple at one instant
+    rows = [
+        (1, 1, T0), (2, 1, T0),                       # tie at T0
+        (3, 1, T0 + 30 * MIN),                        # gap == 30min: SAME session
+        (4, 1, T0 + 60 * MIN + US),                   # gap 30min + 1us: NEW session
+        (5, 2, T0 + 5 * MIN),                         # singleton user
+        (6, 3, T0), (7, 3, T0), (8, 3, T0),           # triple tie
+    ]
+    events = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "event_type": pa.array(["x"] * len(rows), type=pa.string()),
+        "value": pa.array([1.0] * len(rows), type=pa.float64()),
+        "props": pa.array(["{}"] * len(rows), type=pa.string()),
+    })
+    pq.write_table(events, str(d / "events.parquet"))
+
+    # orders: o_orderdate EQUAL to an event ts (as-of must include ties),
+    # before any event, and a customer with no events (user 99)
+    orows = [
+        (10, 1, T0),                 # equals the tie instant: 2 events <=
+        (11, 1, T0 - MIN),           # before any event: no match
+        (12, 3, T0 + MIN),           # after the triple: 3 events <=
+        (13, 99, T0),                # user with no events at all
+    ]
+    orders = pa.table({
+        "o_orderkey": pa.array([r[0] for r in orows], type=pa.int64()),
+        "o_custkey": pa.array([r[1] for r in orows], type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(orows), type=pa.string()),
+        "o_totalprice": pa.array([100.005, 0.004, 99.995, 10.0], type=pa.float64()),
+        "o_orderdate": pa.array([r[2] for r in orows], type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * len(orows), type=pa.string()),
+    })
+    pq.write_table(orders, str(d / "orders.parquet"))
+    return str(d)
+
+
+def _oracle(sql: str, crafted_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{crafted_dir}/{t}.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(sorted(df.columns)).reset_index(drop=True)
+
+
+def test_sessionize_tie_and_boundary_semantics(ray_session, crafted_dir):
+    from deed_ocr_ray.pipelines import windows
+
+    got = _canon(windows.q_sessionize(crafted_dir).to_pandas())
+    want = _canon(_oracle(windows.Q_SESSIONIZE_SQL, crafted_dir))
+    pd.testing.assert_frame_equal(got, want)
+    # user 1: events at T0(x2), +30min, +60min+1us -> sessions {3 events, 1 event}
+    u1 = got[got["user_id"] == 1].sort_values("session_id")
+    assert list(u1["n_events"]) == [3, 1]
+
+
+def test_asof_includes_exact_tie_and_handles_no_match(ray_session, crafted_dir):
+    from deed_ocr_ray.pipelines import windows
+
+    got = _canon(windows.q_asof_last_event(crafted_dir).to_pandas())
+    want = _canon(_oracle(windows.Q_ASOF_SQL, crafted_dir))
+    pd.testing.assert_frame_equal(got, want)
+    by_key = got.set_index("o_orderkey")
+    assert by_key.loc[10, "n_events_before"] == 2   # ties at T0 count
+    assert by_key.loc[11, "n_events_before"] == 0   # before any event
+    assert pd.isna(by_key.loc[11, "last_event_ts"])
+    assert by_key.loc[12, "n_events_before"] == 3   # triple tie
+    assert by_key.loc[13, "n_events_before"] == 0   # user with no events
+
+
+def test_running_total_rounding_at_half_cent(ray_session, crafted_dir):
+    from deed_ocr_ray.pipelines import windows
+
+    got = _canon(windows.q_running_total(crafted_dir).to_pandas())
+    want = _canon(_oracle(windows.Q_RUNNING_TOTAL_SQL, crafted_dir))
+    pd.testing.assert_frame_equal(got, want)
