@@ -111,12 +111,13 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from deed_ocr_ray.pipelines import (
-        dedup, multimodal, packing, relational, similarity, textops, windows,
+        dedup, multimodal, packing, prep, relational, similarity, textops, windows,
     )
 
     return {
         # flagship extraction (rows-only: non-SQL-expressible)
         "extract": _extract_query,
+        "training_prep": prep.q_training_prep,
         "extract_spans": _extract_spans_query,
         "url_dedup": _url_dedup_query,
         # relational operator coverage (SQL oracles)

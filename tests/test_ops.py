@@ -198,3 +198,23 @@ def test_minhash_estimates_track_exact_jaccard(ray_session):
     err = (df["est_jaccard"] - df["exact_jaccard"]).abs()
     assert err.mean() < 0.08       # 64 perms -> ~1/8 std error per pair
     assert (err < 0.3).all()
+
+
+def test_training_prep_pipeline_invariants(ray_session):
+    from deed_ocr_ray.pipelines.prep import WINDOW_TOKENS, q_training_prep
+
+    a = q_training_prep("/root/testdata/sf0.001").to_pandas()
+    # deterministic across runs
+    b = q_training_prep("/root/testdata/sf0.001").to_pandas()
+    key = ["url", "warc_ts"]
+    pa_ = a.sort_values(key).reset_index(drop=True)
+    pb_ = b.sort_values(key).reset_index(drop=True)
+    assert pa_.equals(pb_)
+    # packing is gapless and contiguous in (url, warc_ts) order
+    s = a.sort_values(key).reset_index(drop=True)
+    assert s["start_tok"].iloc[0] == 0
+    assert (s["start_tok"].iloc[1:].to_numpy()
+            == (s["start_tok"] + s["n_tokens"]).iloc[:-1].to_numpy()).all()
+    assert (s["window_id"] == s["start_tok"] // WINDOW_TOKENS).all()
+    # dedup + filter shrank the corpus but kept most of it
+    assert 300 < len(a) <= 500
