@@ -218,3 +218,34 @@ def test_training_prep_pipeline_invariants(ray_session):
     assert (s["window_id"] == s["start_tok"] // WINDOW_TOKENS).all()
     # dedup + filter shrank the corpus but kept most of it
     assert 300 < len(a) <= 500
+
+
+def test_embedding_neardup_matches_bruteforce(ray_session):
+    import duckdb
+
+    from deed_ocr_ray.pipelines.similarity import _cosine_block, q_embedding_neardup
+
+    sf = "/root/testdata/sf0.001"
+    got = q_embedding_neardup(sf).to_pandas()
+    rows = duckdb.sql(
+        f"select vec_id, embedding, label from read_parquet('{sf}/embeddings.parquet')"
+    ).fetchall()
+    by_label = {}
+    for vid, emb, lab in rows:
+        by_label.setdefault(lab, []).append((vid, emb))
+    # brute force per label
+    want_above = set()
+    for lab, items in by_label.items():
+        items.sort()
+        ids = np.array([i for i, _ in items])
+        m = np.array([e for _, e in items], dtype=np.float64)
+        if len(ids) < 2:
+            continue
+        cos = _cosine_block(m, m)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        for i, j, c in zip(ii, jj, cos[ii, jj]):
+            if c >= 0.90:
+                want_above.add((int(ids[i]), int(ids[j])))
+    got_above = {(int(r["vec_a"]), int(r["vec_b"]))
+                 for _, r in got[got["is_above_threshold"]].iterrows()}
+    assert got_above == want_above
