@@ -207,8 +207,9 @@ def scaling_mode() -> None:
 
 
 def _record(summary: dict, lo: int, hi: int) -> None:
-    os.makedirs("BENCH", exist_ok=True)
-    path = os.path.join("BENCH", "BASELINE.md")
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    path = os.path.join(bench_dir, "BASELINE.md")
     header = not os.path.exists(path)
     with open(path, "a") as f:
         if header:

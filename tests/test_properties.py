@@ -101,3 +101,19 @@ def test_dedup_preserve_order_properties(items):
 @given(html=_payloads, text=_texts)
 def test_sniff_kind_closed_set(html, text):
     assert sniff_kind(html, text) in ("html", "pdf", "text", "empty")
+
+
+@settings(max_examples=500, deadline=None)
+@given(h=st.integers(min_value=0, max_value=(1 << 64) - 1),
+       flips=st.lists(st.integers(min_value=0, max_value=63),
+                      min_size=0, max_size=3, unique=True))
+def test_simhash_band_blocking_guarantees_recall(h, flips):
+    """Any pair with Hamming distance <= 3 shares at least one exact
+    16-bit band (pigeonhole over 4 bands) — the recall guarantee the
+    simhash_near_pairs blocking relies on."""
+    g = h
+    for b in flips:
+        g ^= 1 << b
+    bands_h = [(h >> (16 * i)) & 0xFFFF for i in range(4)]
+    bands_g = [(g >> (16 * i)) & 0xFFFF for i in range(4)]
+    assert any(x == y for x, y in zip(bands_h, bands_g))
