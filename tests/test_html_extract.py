@@ -126,3 +126,35 @@ def test_language_gate(lang, stop_hit):
     doc = f"<html><body><p>{words.strip()}</p></body></html>"
     kept, _ = extract_blocks(doc, stopwords_for(lang))
     assert len(kept) == 1
+
+
+def test_corpus_level_boilerplate_exclusion(ray_session, tmp_path):
+    """Corpus-level quality audit over the frozen sf_test corpus: the
+    footer boilerplate never leaks into any extracted_text, and the
+    overwhelming majority of html_clean docs keep their <main> body."""
+    import pyarrow.parquet as pq
+
+    from deed_ocr_ray.fixtures import SF_TEST, write_pages_corpus
+    from deed_ocr_ray.pipelines.extract_pipeline import run_extract
+
+    corpus = str(tmp_path / "pages")
+    write_pages_corpus(corpus, SF_TEST["n_rows"], seed=SF_TEST["seed"],
+                       n_shards=SF_TEST["n_shards"],
+                       giant_bytes=SF_TEST["giant_bytes"])
+    out = str(tmp_path / "out")
+    run_extract(corpus, out, files_per_part=3, wave_parts=None, concurrency=2)
+    t = pq.read_table(out, columns=["url", "payload_kind", "status",
+                                    "extracted_text", "n_kept"])
+    texts = t.column("extracted_text").to_pylist()
+    # footer/linkfarm exclusion: the copyright line is in EVERY html doc's
+    # raw bytes but must never survive classification
+    assert not any("Copyright 2024 Example Site" in x for x in texts)
+    assert not any("Terms Privacy" in x for x in texts)
+    # recall: html docs that extracted ok keep content
+    kinds = t.column("payload_kind").to_pylist()
+    status = t.column("status").to_pylist()
+    ok_html = [x for x, k, s in zip(texts, kinds, status)
+               if k == "html" and s == "ok"]
+    assert ok_html
+    non_trivial = sum(1 for x in ok_html if len(x) > 100)
+    assert non_trivial / len(ok_html) > 0.9
