@@ -104,3 +104,53 @@ def test_running_total_rounding_at_half_cent(ray_session, crafted_dir):
     got = _canon(windows.q_running_total(crafted_dir).to_pandas())
     want = _canon(_oracle(windows.Q_RUNNING_TOTAL_SQL, crafted_dir))
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.fixture(scope="module")
+def crafted_docs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("crafted_docs")
+    texts = [
+        "clean text with no marks",
+        "UNOFFICIAL COPY leading watermark",
+        "doubled UNOFFICIAL COPY UNOFFICIAL COPY middle",
+        "partial UNO fragment and UNOwned words",
+        "spaces   collapse    here",
+        "lines\n\n\n\ncollapse\n \n \n here",
+        "  strip ends  ",
+        "UNO",        # whole text is a watermark fragment
+        "",           # empty
+        "mixed UNOFFICIAL COPY and   runs\n\n\n\nand UNO bits",
+    ]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(["en"] * len(texts), type=pa.string()),
+        "source": pa.array(["crafted"] * len(texts), type=pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(docs, str(d / "documents.parquet"))
+    return str(d)
+
+
+def _docs_oracle(sql: str, crafted_docs_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{crafted_docs_dir}/documents.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def test_doc_normalize_watermark_branch(ray_session, crafted_docs_dir):
+    """The watermark/whitespace branches of the normalize oracle are
+    never hit by the random corpus — exercise them on crafted text and
+    against the reference-semantics Python normalizer directly."""
+    from deed_ocr_ray.functions.normalize import normalize_text
+    from deed_ocr_ray.pipelines import textops
+
+    got = _canon(textops.q_doc_normalize(crafted_docs_dir).to_pandas())
+    want = _canon(_docs_oracle(textops.Q_NORMALIZE_SQL, crafted_docs_dir))
+    pd.testing.assert_frame_equal(got, want)
+    # spot semantics vs the pure function
+    assert normalize_text("UNOFFICIAL COPY leading watermark") == "leading watermark"
+    assert normalize_text("partial UNO fragment and UNOwned words") == \
+        "partial fragment and wned words"  # bare-UNO replace is observable
+    assert normalize_text("UNO") == ""
