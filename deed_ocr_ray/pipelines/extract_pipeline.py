@@ -269,3 +269,17 @@ def export_extracted(out_dir: str, dest: str, fmt: str = "json") -> int:
     else:
         raise ValueError(f"unknown export format {fmt!r}")
     return ray.data.read_parquet(out_dir, columns=["status"]).count()
+
+
+def iter_extracted(
+    out_dir: str,
+    columns: Optional[List[str]] = None,
+    batch_size: int = 1024,
+    batch_format: str = "pyarrow",
+):
+    """Stream the extracted output as batches — the training-loop
+    consumption path (backpressured ``iter_batches``; nothing is
+    materialized driver-side). Yields ``pyarrow.Table`` (default) or
+    pandas batches of ``batch_size`` rows."""
+    ds = read_extracted(out_dir, columns=columns)
+    return ds.iter_batches(batch_size=batch_size, batch_format=batch_format)

@@ -163,3 +163,19 @@ def test_resume_detects_changed_shard_plan(ray_session, tmp_path):
     fresh = str(tmp_path / "fresh")
     run_extract(corpus, fresh, files_per_part=1, wave_parts=None, concurrency=2)
     assert _canonical(pq.read_table(out)).equals(_canonical(pq.read_table(fresh)))
+
+
+def test_iter_extracted_streams_batches(ray_session, corpus_dir, tmp_path):
+    from deed_ocr_ray.pipelines.extract_pipeline import iter_extracted, run_extract
+
+    out = str(tmp_path / "out")
+    run_extract(corpus_dir, out, files_per_part=3, wave_parts=None, concurrency=2)
+    total = 0
+    n_batches = 0
+    for b in iter_extracted(out, columns=["url", "n_chars"], batch_size=64):
+        assert b.num_rows <= 64
+        assert b.column_names == ["url", "n_chars"]
+        total += b.num_rows
+        n_batches += 1
+    assert total == SF_TEST["n_rows"]
+    assert n_batches >= total // 64
