@@ -54,7 +54,7 @@ def cmd_extract(args: argparse.Namespace) -> int:
         files_per_part=args.files_per_part,
         wave_parts=args.wave_parts,
         concurrency=concurrency,
-        batch_size=args.batch_size,
+        batch_size=args.batch_size if args.batch_size > 0 else None,
         max_payload_bytes=args.max_payload_bytes,
     )
     print(json.dumps(summary))
@@ -100,7 +100,9 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--files-per-part", type=int, default=1)
     ex.add_argument("--wave-parts", type=int, default=8,
                     help="partitions per checkpoint wave (0 = single pass)")
-    ex.add_argument("--batch-size", type=int, default=256)
+    ex.add_argument("--batch-size", type=int, default=0,
+                    help="rows per extractor call (0 = byte-bounded blocks, "
+                         "the default skew guard; ~15%% faster than row counts)")
     ex.add_argument("--concurrency", type=int, default=0,
                     help="extraction actor count (0 = auto: ncpu - ncpu/16)")
     ex.add_argument("--max-payload-bytes", type=int, default=256 * 1024 * 1024)

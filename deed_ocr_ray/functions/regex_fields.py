@@ -5,10 +5,12 @@ Re-expresses (from scratch, equivalent coverage — not copied):
 * pattern-set span extraction — analogue of deed_ocr/extractors/regex.py:7-53
   (lot/block, section-township-range, metes-and-bounds, legal-desc header);
 * confidence scorer — semantics of deed_ocr/extractors/llm.py:143-165
-  (base 0.5; +0.2 if within 500 chars after a header keyword; +0.1 if
-  match length > 100; +0.1 if > 200; capped at 0.9);
+  (base 0.5; +0.2 if within 500 chars of a header keyword, symmetric
+  window around the header start; +0.1 if match length > 100; +0.1 if
+  > 200; capped at 0.9);
 * text similarity — semantics of deed_ocr/extractors/llm.py:195-217
-  (exact → 1.0, containment → 0.9, else word-set Jaccard);
+  (lowercase+strip both, then exact → 1.0, containment → 0.9, else
+  word-set Jaccard);
 * near-dup suppression — semantics of deed_ocr/extractors/llm.py:167-193
   (sort by confidence desc, greedily keep unless similarity > 0.8 with an
   already-kept item);
@@ -78,26 +80,34 @@ def extract_field_spans(text: str) -> List[Tuple[str, int, int, float]]:
     """
     tl = text.lower()
     out: List[Tuple[str, int, int, float]] = []
-    header_ends: List[int] = []
+    header_starts: List[int] = []
     header_done = False
     for kind, pat, gate in FIELD_PATTERNS:
         if any(g not in tl for g in gate):
             continue
         if not header_done:  # lazily: only needed when something matches
             if _HEADER_GATE in tl:
-                header_ends = [m.end() for m in RE_HEADER.finditer(text)]
+                header_starts = [m.start() for m in RE_HEADER.finditer(text)]
             header_done = True
         for m in pat.finditer(text):
-            out.append((kind, m.start(), m.end(), confidence(m.start(), m.end(), header_ends)))
+            out.append((kind, m.start(), m.end(), confidence(m.start(), m.end(), header_starts)))
     return out
 
 
-def confidence(start: int, end: int, header_ends: List[int]) -> float:
+def confidence(start: int, end: int, header_starts: List[int]) -> float:
     """deed_ocr/extractors/llm.py:143-165 scoring semantics (computed in
-    integer tenths so 0.5+0.2+0.1+0.1 is exactly 0.9)."""
+    integer tenths so 0.5+0.2+0.1+0.1 is exactly 0.9).
+
+    The header boost is the reference's SYMMETRIC window:
+    ``abs(match_pos - header_pos) < 500`` around the header START
+    (llm.py:152-157). Two deliberate deviations from the reference:
+    every header occurrence is considered (the reference's ``find()``
+    only sees the first occurrence of each phrase), and ``match_pos``
+    is the true span start (the reference's ``find(match_text)``
+    misattributes the position when the matched text repeats)."""
     tenths = 5
-    for he in header_ends:
-        if 0 <= start - he <= 500:
+    for hs in header_starts:
+        if abs(start - hs) < 500:
             tenths += 2
             break
     n = end - start
@@ -109,13 +119,14 @@ def confidence(start: int, end: int, header_ends: List[int]) -> float:
 
 
 def text_similarity(a: str, b: str) -> float:
-    """deed_ocr/extractors/llm.py:195-217 semantics: exact 1.0,
-    containment 0.9, else Jaccard over lowercase word sets."""
-    if a == b:
+    """deed_ocr/extractors/llm.py:195-217 semantics: lowercase+strip
+    both, then exact 1.0, containment 0.9, else word-set Jaccard."""
+    a2, b2 = a.lower().strip(), b.lower().strip()
+    if a2 == b2:
         return 1.0
-    if a in b or b in a:
+    if a2 in b2 or b2 in a2:
         return 0.9
-    wa, wb = set(a.lower().split()), set(b.lower().split())
+    wa, wb = set(a2.split()), set(b2.split())
     if not wa or not wb:
         return 0.0
     return len(wa & wb) / len(wa | wb)

@@ -123,6 +123,32 @@ def run_extract(
     prev_block_size = ctx.target_max_block_size
     if target_block_bytes:
         ctx.target_max_block_size = target_block_bytes
+    try:
+        return _run_extract_inner(
+            t_start, shards, out_dir, resume=resume,
+            files_per_part=files_per_part, wave_parts=wave_parts,
+            concurrency=concurrency, batch_size=batch_size,
+            max_payload_bytes=max_payload_bytes,
+        )
+    finally:
+        # DataContext is driver-global: restore even when a wave fails
+        # (write error, bad shard) so later jobs in this process see the
+        # original block size.
+        ctx.target_max_block_size = prev_block_size
+
+
+def _run_extract_inner(
+    t_start: float,
+    shards: List[str],
+    out_dir: str,
+    *,
+    resume: bool,
+    files_per_part: int,
+    wave_parts: Optional[int],
+    concurrency: Optional[Union[int, tuple]],
+    batch_size: Optional[int],
+    max_payload_bytes: int,
+) -> Dict[str, Any]:
     parts = plan_partitions(shards, files_per_part)
 
     if resume:
@@ -197,7 +223,6 @@ def run_extract(
         n_ok += m["ok_count"]
         error_counts.update(m["error_counts"])
 
-    ctx.target_max_block_size = prev_block_size
     wall_s = time.perf_counter() - t_start
     return {
         "n_parts": len(parts),

@@ -40,18 +40,24 @@ def test_spans_index_into_text():
 
 
 def test_confidence_semantics():
-    # base 0.5; +0.2 within 500 chars after header; +0.1 len>100; +0.1 len>200; cap 0.9
+    # base 0.5; +0.2 within 500 chars of a header (symmetric window,
+    # llm.py:152-157); +0.1 len>100; +0.1 len>200; cap 0.9
     assert confidence(10, 50, []) == 0.5
     assert confidence(10, 50, [0]) == 0.7
     assert confidence(10, 120, []) == 0.6
     assert confidence(10, 250, []) == 0.7
     assert confidence(10, 250, [0]) == 0.9
     assert confidence(700, 999, [0]) == pytest.approx(0.7)  # header too far
+    assert confidence(0, 50, [300]) == 0.7   # match BEFORE header boosts too
+    assert confidence(0, 50, [499]) == 0.7   # strict < 500
+    assert confidence(0, 50, [500]) == 0.5
 
 
 def test_similarity_semantics():
     assert text_similarity("abc", "abc") == 1.0
+    assert text_similarity("abc", "ABC ") == 1.0  # lowercase+strip first (llm.py:195-217)
     assert text_similarity("abc", "xx abc yy") == 0.9
+    assert text_similarity("ABC", "xx abc yy") == 0.9  # case-folded containment
     assert text_similarity("a b c", "a b d") == 0.5  # jaccard 2/4
     assert text_similarity("", "x") == 0.9  # "" in "x" (containment, reference quirk)
 
