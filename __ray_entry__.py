@@ -52,18 +52,19 @@ def _extract_spans_query(sf_dir: str) -> Any:
     out = extract_dataset(read_pages(corpus))
 
     def flatten(t: pa.Table) -> pa.Table:
-        urls, kinds, starts, ends = [], [], [], []
-        for url, spans in zip(t["url"].to_pylist(), t["spans"].to_pylist()):
-            for s in spans:
-                urls.append(url)
-                kinds.append(s["kind"])
-                starts.append(s["start"])
-                ends.append(s["end"])
+        import pyarrow.compute as pc
+
+        spans = t["spans"].combine_chunks()
+        if isinstance(spans, pa.ChunkedArray):  # single chunk after combine
+            spans = spans.chunk(0) if spans.num_chunks else pa.array([], type=spans.type)
+        structs = pc.list_flatten(spans)  # zero-copy explode
+        parent = pc.list_parent_indices(spans)
+        urls = pc.take(t["url"].combine_chunks(), parent)
         return pa.table({
-            "url": pa.array(urls, type=pa.string()),
-            "kind": pa.array(kinds, type=pa.string()),
-            "start": pa.array(starts, type=pa.int64()),
-            "end": pa.array(ends, type=pa.int64()),
+            "url": urls.cast(pa.string()),
+            "kind": structs.field("kind").cast(pa.string()),
+            "start": structs.field("start").cast(pa.int64()),
+            "end": structs.field("end").cast(pa.int64()),
         })
 
     return out.map_batches(flatten, batch_format="pyarrow")
@@ -111,12 +112,14 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from deed_ocr_ray.pipelines import (
-        dedup, multimodal, packing, prep, relational, similarity, textops, windows,
+        dedup, ensemble, multimodal, packing, prep, relational, similarity,
+        textops, windows,
     )
 
     return {
         # flagship extraction (rows-only: non-SQL-expressible)
         "extract": _extract_query,
+        "ensemble_extract": ensemble.q_ensemble_extract,
         "training_prep": prep.q_training_prep,
         "extract_spans": _extract_spans_query,
         "url_dedup": _url_dedup_query,
@@ -161,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_adjacent": dedup.q_jaccard_adjacent,
         "hll_users": dedup.q_hll_users,
         "minhash_validate": dedup.q_minhash_validate,
+        "lsh_overflow": dedup.q_lsh_overflow,
         # similarity search
         "knn_cosine": similarity.q_knn_cosine,
         "knn_ivf": similarity.q_knn_ivf,
@@ -172,10 +176,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from deed_ocr_ray.pipelines import (
-        dedup, packing, relational, similarity, textops, windows,
+        dedup, ensemble, packing, relational, similarity, textops, windows,
     )
 
     return {
+        "ensemble_extract": ensemble.Q_ENSEMBLE_SQL,
         "running_total": windows.Q_RUNNING_TOTAL_SQL,
         "order_rank": windows.Q_ORDER_RANK_SQL,
         "customers_no_orders": windows.Q_NO_ORDERS_SQL,

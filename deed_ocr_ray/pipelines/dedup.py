@@ -9,12 +9,17 @@ operators, built shuffle-consciously:
   ``(fp, doc_id)`` pairs — the text never crosses the exchange;
 * MinHash+LSH explodes each doc into ``n_bands`` tiny band rows,
   ``groupby(band_id, band_hash)`` co-locates only colliding docs, and
-  candidate verification happens per bucket (buckets are small by
-  construction); signatures ride along in the band rows (64×u64 =
-  512 B/doc) to avoid a second join — at much larger corpora trade
-  that for a signature re-join;
+  candidate verification is TWO hash ``Dataset.join``s of the slim
+  pair list against the distributed signature table (doc_a then
+  doc_b) — no per-doc state ever lands on the driver, so the shape
+  survives corpora where signatures alone are terabytes;
+* oversized LSH buckets (hot boilerplate keys) are skipped by the
+  quadratic guard AND surface as overflow rows — recall loss is
+  observable (``q_lsh_overflow``), never silent;
 * SimHash emits one 64-bit signature per doc (4×16-bit band blocking
-  gives Hamming≤3 candidates without an O(n²) scan);
+  gives Hamming≤3 candidates without an O(n²) scan); token hashing is
+  batch-vectorized with a per-actor token cache (blake2b once per
+  distinct token, bit accumulation via one fancy-index add);
 * pairwise char-Jaccard uses ``Dataset.join`` (hash-partitioned) and
   reproduces DuckDB's byte-set ``jaccard()`` exactly, so the oracle
   matches bit-for-bit.
@@ -22,14 +27,16 @@ operators, built shuffle-consciously:
 
 from __future__ import annotations
 
+import functools
 import hashlib
-from typing import List
+from typing import Dict, List
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Max, Min
+from ray.data.aggregate import Count, Max, Min, Sum
 
 # ------------------------------------------------------------- exact dedup
 
@@ -114,14 +121,35 @@ def minhash_signature(text: str) -> np.ndarray:
 
 
 N_SHUFFLE_PARTS = 512  # coarse shuffle key: buckets per map_groups call
+JOIN_PARTS = 16  # hash-join partitions for the pair⋈signature joins
 
 
-class MinHasher:
-    """Actor: per-batch signatures + band explosion. Emits one SLIM row
-    per (doc, band): (part, band_id, band_hash, doc_id) — 24 B/row.
+def _sig_table(t: pa.Table) -> pa.Table:
+    """(doc_id, sig) rows: signature as a 512-byte binary blob — a
+    primitive column that rides hash joins untouched and decodes
+    zero-copy with ``np.frombuffer``."""
+    ids = t["doc_id"]
+    sigs = [minhash_signature(x).tobytes() for x in t["text"].to_pylist()]
+    return pa.table({
+        "doc_id": ids,
+        "sig": pa.array(sigs, type=pa.binary()),
+    })
+
+
+def minhash_sigs(sf_dir: str) -> "ray.data.Dataset":
+    """The distributed signature table (doc_id, sig[binary 512 B]).
+    Stays a Dataset end-to-end — blocks live in the object store (and
+    spill), NEVER on the driver; the sf-independent building block for
+    LSH banding and join-based candidate verification."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(_sig_table, batch_format="pyarrow")
+
+
+def _explode_bands(t: pa.Table) -> pa.Table:
+    """Band rows from signature rows. Emits one SLIM row per
+    (doc, band): (part, band_id, band_hash, doc_id) — 24 B/row.
     Signatures do NOT ride the shuffle (a 512 B sig repeated across 16
-    band rows made the exchange 300x heavier than the keys); candidate
-    pairs are verified afterwards against a broadcast signature store.
+    band rows made the exchange 300x heavier than the keys).
 
     ``part`` is a COARSE shuffle key (band_hash mod N_SHUFFLE_PARTS):
     grouping by the exact (band_id, band_hash) key makes Ray's
@@ -130,67 +158,46 @@ class MinHasher:
     for 5k docs). Grouping by ``part`` and resolving exact buckets with
     a vectorized in-partition groupby cuts that to a few hundred UDF
     calls with identical results."""
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        doc_ids: List[int] = []
-        band_ids: List[int] = []
-        band_hashes: List[int] = []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = minhash_signature(text)
-            for b in range(N_BANDS):
-                chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-                bh = int.from_bytes(
-                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
-                ) >> 1  # fits int64
-                doc_ids.append(did)
-                band_ids.append(b)
-                band_hashes.append(bh)
-        return pa.table({
-            "part": pa.array([h % N_SHUFFLE_PARTS for h in band_hashes], type=pa.int32()),
-            "band_id": pa.array(band_ids, type=pa.int32()),
-            "band_hash": pa.array(band_hashes, type=pa.int64()),
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-        })
+    doc_ids: List[int] = []
+    band_ids: List[int] = []
+    band_hashes: List[int] = []
+    for did, blob in zip(t["doc_id"].to_pylist(), t["sig"].to_pylist()):
+        sig = np.frombuffer(blob, dtype=np.uint64)
+        for b in range(N_BANDS):
+            chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+            bh = int.from_bytes(
+                hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
+            ) >> 1  # fits int64
+            doc_ids.append(did)
+            band_ids.append(b)
+            band_hashes.append(bh)
+    return pa.table({
+        "part": pa.array([h % N_SHUFFLE_PARTS for h in band_hashes], type=pa.int32()),
+        "band_id": pa.array(band_ids, type=pa.int32()),
+        "band_hash": pa.array(band_hashes, type=pa.int64()),
+        "doc_id": pa.array(doc_ids, type=pa.int64()),
+    })
 
 
-def sig_matrix(sf_dir: str) -> "tuple[np.ndarray, np.ndarray]":
-    """(doc_ids, signatures) for the whole documents table, computed
-    distributed and collected driver-side. The sig store is
-    64 perms x 8 B = 512 B/doc — the canonical broadcast small side at
-    bench scale; at corpus scales where it no longer fits one node,
-    replace the broadcast with two ``Dataset.join``s of the pair list
-    against the signature table (doc_a then doc_b)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def sigs(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        mats = [minhash_signature(x) for x in t["text"].to_pylist()]
-        return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "sig": pa.array([m.tolist() for m in mats], type=pa.list_(pa.uint64())),
-        })
-
-    rows = ds.map_batches(sigs, batch_format="pyarrow").take_all()
-    ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["sig"] for r in rows], dtype=np.uint64)
-    return ids, mat
+MAX_BUCKET = 64  # skip degenerate buckets (boilerplate collisions); the
+                 # skipped buckets are emitted as overflow sentinel rows
+                 # (doc_a=-1, doc_b=bucket size) so the recall hole is
+                 # observable — q_lsh_overflow aggregates them.
 
 
-MAX_BUCKET = 64  # skip degenerate buckets (boilerplate collisions);
-                 # dropped buckets are observable via bucket_overflow rows
-
-
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+def _bucket_pairs(g: pd.DataFrame, max_bucket: int = MAX_BUCKET) -> pa.Table:
     """Candidate pairs for ALL exact (band_id, band_hash) buckets inside
-    one coarse shuffle partition. Buckets larger than MAX_BUCKET are
-    skipped (quadratic guard — the skew-cap analogue for hot keys); at
-    production scale log/emit the overflow count rather than silently
-    scanning. Singleton buckets (the overwhelming majority) are dropped
-    by one vectorized duplicated() mask before any per-bucket work."""
+    one coarse shuffle partition. Buckets larger than ``max_bucket`` are
+    not scanned (quadratic guard — the skew-cap analogue for hot keys);
+    each skipped bucket emits one OVERFLOW sentinel row
+    ``(doc_a=-1, doc_b=bucket_size)`` instead of vanishing silently.
+    Singleton buckets (the overwhelming majority) are dropped by one
+    vectorized duplicated() mask before any per-bucket work."""
     rows = []
     dup = g.duplicated(["band_id", "band_hash"], keep=False)
     for _, sub in g[dup].groupby(["band_id", "band_hash"], sort=False):
-        if len(sub) > MAX_BUCKET:
+        if len(sub) > max_bucket:
+            rows.append((-1, int(len(sub))))
             continue
         docs = sorted(set(sub["doc_id"]))
         for i in range(len(docs)):
@@ -206,59 +213,170 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-class _SigVerifier:
-    """Actor: estimate Jaccard for candidate pairs from the broadcast
-    signature store (fetched once per actor from the object store)."""
+def _candidate_pairs(
+    sigs: "ray.data.Dataset", max_bucket: int = MAX_BUCKET
+) -> "ray.data.Dataset":
+    """Deduped LSH candidate pairs (plus overflow sentinels, doc_a=-1)
+    from a signature Dataset. Overflow sentinel rows ride the same
+    pair-dedup groupby — each distinct (bucket=-1, size) pair collapses,
+    so the counts downstream are per-distinct-bucket-size; the overflow
+    AGGREGATE keeps the true bucket count via the groupby's Count."""
+    bands = sigs.map_batches(_explode_bands, batch_format="pyarrow")
+    fn = functools.partial(_bucket_pairs, max_bucket=max_bucket)
+    pairs = bands.groupby("part").map_groups(fn, batch_format="pandas")
+    # a pair can surface from several bands -> exact dedup on the slim
+    # pair rows; n_bands doubles as the overflow-bucket count for the
+    # (-1, size) sentinel keys
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
-    def __init__(self, sig_ref) -> None:
-        import ray as _ray
 
-        ids, mat = _ray.get(sig_ref)
-        self.row_of = {int(d): i for i, d in enumerate(ids)}
-        self.mat = mat
+def _est_jaccard_from_sigs(t: pa.Table) -> pa.Table:
+    """est_jaccard = fraction of equal MinHash coordinates, vectorized
+    over the joined (sig_a, sig_b) blob columns."""
+    a = np.frombuffer(b"".join(t["sig_a"].to_pylist()), dtype=np.uint64).reshape(-1, N_PERM)
+    b = np.frombuffer(b"".join(t["sig_b"].to_pylist()), dtype=np.uint64).reshape(-1, N_PERM)
+    est = (a == b).mean(axis=1) if len(t) else np.zeros(0)
+    return pa.table({
+        "doc_a": t["doc_a"],
+        "doc_b": t["doc_b"],
+        "est_jaccard": pa.array(est, type=pa.float64()),
+    })
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        a = t["doc_a"].to_numpy()
-        b = t["doc_b"].to_numpy()
-        ia = np.fromiter((self.row_of[int(x)] for x in a), dtype=np.int64, count=len(a))
-        ib = np.fromiter((self.row_of[int(x)] for x in b), dtype=np.int64, count=len(b))
-        est = (self.mat[ia] == self.mat[ib]).mean(axis=1)
-        return pa.table({
-            "doc_a": t["doc_a"],
-            "doc_b": t["doc_b"],
-            "est_jaccard": pa.array(est, type=pa.float64()),
-        })
+
+def _coalesce_for_join(ds: "ray.data.Dataset", rows_per_block: int = 65536):
+    """Materialize + repartition a small Dataset into NON-EMPTY blocks
+    before feeding it to ``Dataset.join``.
+
+    Why: Ray's hash-shuffle short-circuits zero-row input blocks
+    without broadcasting their schema (hash_shuffle.py:223-225 in Ray
+    2.49), so when the first block a join shuffles happens to be empty,
+    aggregator partitions that receive no non-empty shard finalize a
+    zero-column table and ``pa.Table.join`` fails with "No match for
+    key field". Datasets coming out of filters/groupbys are full of
+    typed empty blocks, making that a coin flip. Returns
+    ``(dataset, n_rows)``; callers must handle ``n_rows == 0`` (the
+    join operator cannot)."""
+    ds = ds.materialize()
+    n = ds.count()
+    if n == 0:
+        return ds, 0
+    return ds.repartition(max(1, min(JOIN_PARTS, n // rows_per_block + 1))), n
+
+
+def _join_pairs_with(
+    pairs: "ray.data.Dataset",
+    side_table: "ray.data.Dataset",
+    value_col: str,
+    num_partitions: int = JOIN_PARTS,
+) -> "ray.data.Dataset":
+    """Join (doc_a, doc_b, ...) pairs against a per-doc table twice —
+    once on doc_a, once on doc_b — renaming ``value_col`` to
+    ``{value_col}_a`` / ``{value_col}_b``. Both joins are distributed
+    hash joins: the per-doc table never lands on the driver.
+    ``num_partitions`` should scale with the LARGER side (the per-doc
+    table) — each partition is one aggregator actor; over-partitioning
+    tiny inputs pays seconds of actor startup for nothing."""
+    def rename(key: str, suffix: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({key: t["doc_id"], f"{value_col}{suffix}": t[value_col]})
+        return fn
+
+    sa = side_table.map_batches(rename("doc_a", "_a"), batch_format="pyarrow")
+    j1 = pairs.join(sa, join_type="inner", num_partitions=num_partitions, on=("doc_a",))
+    sb = side_table.map_batches(rename("doc_b", "_b"), batch_format="pyarrow")
+    return j1.join(sb, join_type="inner", num_partitions=num_partitions, on=("doc_b",))
+
+
+def _join_parts_for(n_rows: int, rows_per_part: int = 65536) -> int:
+    return max(1, min(JOIN_PARTS, n_rows // rows_per_part + 1))
+
+
+_EMPTY_PAIRS = pa.table({
+    "doc_a": pa.array([], type=pa.int64()),
+    "doc_b": pa.array([], type=pa.int64()),
+    "est_jaccard": pa.array([], type=pa.float64()),
+})
 
 
 def q_minhash_pairs(sf_dir: str, min_est: float = 0.5) -> "ray.data.Dataset":
     """MinHash-LSH near-duplicate pairs (est. Jaccard >= ``min_est``).
+    Candidate verification is TWO distributed hash joins of the slim
+    pair list against the signature Dataset (doc_a then doc_b) — the
+    512 B/doc signature store never lands on the driver, so this shape
+    holds when signatures alone are terabytes.
     Columns: doc_a, doc_b, est_jaccard. (No SQL oracle: sketch-based.)"""
-    import ray as _ray
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8))
-    pairs = bands.groupby("part").map_groups(_bucket_pairs, batch_format="pandas")
-    # a pair can surface from several bands -> exact dedup on the slim
-    # pair rows, then one vectorized verification pass
-    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
-    uniq = uniq.drop_columns(["n_bands"])
-    sig_ref = _ray.put(sig_matrix(sf_dir))
-    verified = uniq.map_batches(
-        _SigVerifier, fn_constructor_args=(sig_ref,),
-        batch_format="pyarrow", concurrency=(1, 4),
+    # materialize the COMPACT per-doc table (512 B/doc) once so its
+    # three consumers (banding + the two join sides) don't re-run the
+    # text scan; blocks stay in the (spillable) object store — this is
+    # reuse, not driver-side collection. At corpus scales beyond object
+    # store + spill, checkpoint it to parquet instead.
+    sigs = minhash_sigs(sf_dir).materialize()
+    cand = _candidate_pairs(sigs).drop_columns(["n_bands"])
+    cand = cand.filter(expr="doc_a >= 0")  # drop overflow sentinels
+    # barrier between the groupby shuffles and the hash joins: one
+    # streaming plan containing both deadlocks on operator resources
+    # (observed: plan never finishes at 8 CPUs); the pair list is the
+    # SMALL near-dup candidate set, so the barrier is cheap — and the
+    # coalesce sidesteps Ray's empty-block schema-broadcast race (see
+    # _coalesce_for_join).
+    cand, n_cand = _coalesce_for_join(cand)
+    if n_cand == 0:
+        return ray.data.from_arrow(_EMPTY_PAIRS)
+    joined = _join_pairs_with(
+        cand, sigs, "sig",
+        num_partitions=_join_parts_for(max(n_cand, sigs.count())),
     )
-    import pyarrow.compute as pc
-
+    verified = joined.map_batches(_est_jaccard_from_sigs, batch_format="pyarrow")
     return verified.map_batches(
         lambda t: t.filter(pc.greater_equal(t["est_jaccard"], min_est)),
         batch_format="pyarrow",
     )
 
 
+def q_lsh_overflow(sf_dir: str, max_bucket: int = MAX_BUCKET) -> "ray.data.Dataset":
+    """Observability for the LSH quadratic guard: how many buckets were
+    skipped as oversized (> ``max_bucket``), the largest bucket seen,
+    and how many doc slots those buckets held (upper bound on lost
+    collision opportunities). Exactly one output row, zeros when
+    nothing overflowed. Columns: n_overflow_buckets, max_bucket_size,
+    dropped_doc_slots. (No SQL oracle: sketch internals.)"""
+    over = _candidate_pairs(minhash_sigs(sf_dir), max_bucket=max_bucket).filter(
+        expr="doc_a < 0"
+    ).materialize()  # tiny (one row per overflowed bucket size)
+    if over.count() == 0:
+        row = {"n_overflow_buckets": 0, "max_bucket_size": 0, "dropped_doc_slots": 0}
+    else:
+        # sentinel rows are (doc_a=-1, doc_b=size, n_bands=count of
+        # buckets with that size): tiny aggregate scalars, driver-safe
+        def partial(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "n_buckets": pa.array([pc.sum(t["n_bands"]).as_py() or 0], type=pa.int64()),
+                "max_size": pa.array([pc.max(t["doc_b"]).as_py() or 0], type=pa.int64()),
+                "slots": pa.array(
+                    [pc.sum(pc.multiply(t["doc_b"], t["n_bands"].cast(pa.int64()))).as_py() or 0],
+                    type=pa.int64()),
+            })
+
+        agg = over.map_batches(partial, batch_format="pyarrow")
+        total = agg.aggregate(
+            Sum("n_buckets", alias_name="nb"),
+            Max("max_size", alias_name="mx"),
+            Sum("slots", alias_name="sl"),
+        )
+        row = {
+            "n_overflow_buckets": int(total["nb"]),
+            "max_bucket_size": int(total["mx"]),
+            "dropped_doc_slots": int(total["sl"]),
+        }
+    return ray.data.from_items([row])
+
+
 # ------------------------------------------------------------------ simhash
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (blake2b token hashes)."""
+    """64-bit SimHash over whitespace tokens (blake2b token hashes).
+    Scalar reference implementation — the batch path
+    (:class:`SimHashBatch`) must agree bit-for-bit (property-tested)."""
     acc = np.zeros(64, dtype=np.int64)
     for tok in text.split():
         h = int.from_bytes(hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big")
@@ -271,17 +389,94 @@ def simhash64(text: str) -> int:
     return out
 
 
+_BIT_WEIGHTS = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))  # MSB-first
+
+
+class SimHashBatch:
+    """Vectorized batch SimHash with a per-actor token-hash cache.
+
+    blake2b runs ONCE per distinct token across the actor's lifetime;
+    per batch the work is one vectorized unpackbits over the distinct-
+    token hash array and one fancy-index ``np.add.at`` accumulation —
+    the matmul-style bit-count path (vs. the scalar loop: ≥10x).
+    Bit-identical to :func:`simhash64`."""
+
+    def __init__(self, cache_cap: int = 1 << 20) -> None:
+        self.cache: Dict[str, int] = {}
+        self.cache_cap = cache_cap
+
+    def signatures(self, texts: List[str]) -> np.ndarray:
+        tok_lists = [t.split() for t in texts]
+        flat: List[str] = [tok for toks in tok_lists for tok in toks]
+        if not flat:
+            return np.zeros(len(texts), dtype=np.uint64)
+        doc_idx = np.repeat(
+            np.arange(len(texts)), [len(toks) for toks in tok_lists]
+        )
+        # distinct tokens this batch; hash only the cache misses
+        uniq: Dict[str, int] = {}
+        tok_idx = np.empty(len(flat), dtype=np.int64)
+        for i, tok in enumerate(flat):
+            j = uniq.get(tok)
+            if j is None:
+                j = len(uniq)
+                uniq[tok] = j
+            tok_idx[i] = j
+        hashes = np.empty(len(uniq), dtype=np.uint64)
+        cache = self.cache
+        for tok, j in uniq.items():
+            h = cache.get(tok)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+                )
+                if len(cache) < self.cache_cap:
+                    cache[tok] = h
+            hashes[j] = h
+        # ±1 bit matrix for the distinct tokens (MSB-first — matches
+        # np.unpackbits of the big-endian bytes in the scalar path)
+        bits = np.unpackbits(hashes[:, None].astype(">u8").view(np.uint8), axis=1)
+        bitmat = bits.astype(np.int64) * 2 - 1  # (n_uniq, 64)
+        acc = np.zeros((len(texts), 64), dtype=np.int64)
+        np.add.at(acc, doc_idx, bitmat[tok_idx])
+        # bit (63-i) set iff acc[:, i] > 0; disjoint bits -> sum == OR
+        return ((acc > 0).astype(np.uint64) * _BIT_WEIGHTS[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sigs = self.signatures(t["text"].to_pylist())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "simhash": pa.array(sigs.astype(np.int64)),  # two's complement
+        })
+
+
 def q_simhash(sf_dir: str) -> "ray.data.Dataset":
     """Per-doc 64-bit SimHash (as int64, two's complement).
     Columns: doc_id, simhash. (No SQL oracle: sketch-based.)"""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(SimHashBatch, batch_format="pyarrow", concurrency=(1, 8))
 
-    def fn(t: pa.Table) -> pa.Table:
-        raw = [simhash64(x) for x in t["text"].to_pylist()]
-        hs = [h - (1 << 64) if h >= (1 << 63) else h for h in raw]
-        return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(hs, type=pa.int64())})
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+class _SimHashBands(SimHashBatch):
+    """Band-exploded SimHash rows for 4×16-bit blocking."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sigs = self.signatures(t["text"].to_pylist())
+        n = len(sigs)
+        doc_ids = np.repeat(np.asarray(t["doc_id"].to_pylist(), dtype=np.int64), 4)
+        band_ids = np.tile(np.arange(4, dtype=np.int32), n)
+        shifts = (np.uint64(16) * band_ids.astype(np.uint64))
+        band_vals = ((np.repeat(sigs, 4) >> shifts) & np.uint64(0xFFFF)).astype(np.int32)
+        part = ((band_ids.astype(np.int64) * 65536 + band_vals) % N_SHUFFLE_PARTS).astype(np.int32)
+        return pa.table({
+            "part": pa.array(part),
+            "band_id": pa.array(band_ids),
+            "band_val": pa.array(band_vals),
+            "doc_id": pa.array(doc_ids),
+            "simhash": pa.array(np.repeat(sigs.astype(np.int64), 4)),
+        })
 
 
 def q_simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
@@ -290,28 +485,9 @@ def q_simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset
     Columns: doc_a, doc_b, hamming. (No SQL oracle.)"""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
-    def bands(t: pa.Table) -> pa.Table:
-        doc_ids, band_ids, band_vals, sims = [], [], [], []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            h = simhash64(text)
-            for b in range(4):
-                doc_ids.append(did)
-                band_ids.append(b)
-                band_vals.append((h >> (16 * b)) & 0xFFFF)
-                sims.append(h - (1 << 64 if h >= (1 << 63) else 0))
-        part = [(b * 65536 + v) % N_SHUFFLE_PARTS
-                for b, v in zip(band_ids, band_vals)]
-        return pa.table({
-            "part": pa.array(part, type=pa.int32()),
-            "band_id": pa.array(band_ids, type=pa.int32()),
-            "band_val": pa.array(band_vals, type=pa.int32()),
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "simhash": pa.array(sims, type=pa.int64()),
-        })
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs(g: pd.DataFrame) -> pa.Table:
         # coarse-partition group; resolve exact buckets vectorized
-        # (see MinHasher docstring for why not groupby the exact key)
+        # (see _explode_bands docstring for why not groupby the exact key)
         rows = []
         dup = g.duplicated(["band_id", "band_val"], keep=False)
         for _, sub in g[dup].groupby(["band_id", "band_val"], sort=False):
@@ -329,7 +505,7 @@ def q_simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset
             "hamming": pa.array([r[2] for r in rows], type=pa.int64()),
         })
 
-    exploded = ds.map_batches(bands, batch_format="pyarrow")
+    exploded = ds.map_batches(_SimHashBands, batch_format="pyarrow", concurrency=(1, 8))
     cand = exploded.groupby("part").map_groups(pairs, batch_format="pandas")
     return cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
@@ -418,70 +594,86 @@ def hll_estimate(regs: np.ndarray) -> float:
 
 def q_hll_users(sf_dir: str) -> "ray.data.Dataset":
     """Approximate distinct user count over events via a mergeable
-    HyperLogLog: each batch emits its register array (4 KiB), registers
-    OR-merge driver-side (at cluster scale: tree-reduce the tiny
-    sketches). Self-validating output row carries the exact count too.
-    Columns: estimate, exact, rel_err_pct. (No SQL oracle: sketch.)"""
+    HyperLogLog: each batch emits its 4 KiB register array; partial
+    sketches max-merge in a REDUCE TASK (``repartition(1)`` over 4 KiB
+    rows — at cluster scale, add intermediate repartition levels for a
+    tree reduce). Nothing touches the driver; the operator emits its
+    estimate only — the estimate-vs-exact audit lives in the test suite
+    (``tests/test_ops.py``), not inside the operator.
+    Columns: estimate, nonzero_registers, n_registers. (No SQL oracle:
+    sketch.)"""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
 
     def sketch(t: pa.Table) -> pa.Table:
         regs = _hll_registers(t["user_id"].to_numpy().astype(np.uint64))
-        return pa.table({"regs": pa.array([regs.tolist()], type=pa.list_(pa.uint8()))})
+        return pa.table({"regs": pa.array([regs.tobytes()], type=pa.binary())})
 
-    parts = ds.map_batches(sketch, batch_format="pyarrow").take_all()
-    merged = np.zeros(1 << HLL_P, dtype=np.uint8)
-    for r in parts:
-        merged = np.maximum(merged, np.asarray(r["regs"], dtype=np.uint8))
-    est = hll_estimate(merged)
+    def merge(t: pa.Table) -> pa.Table:
+        merged = np.zeros(1 << HLL_P, dtype=np.uint8)
+        for blob in t["regs"].to_pylist():
+            np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
+        return pa.table({
+            "estimate": pa.array([int(round(hll_estimate(merged)))], type=pa.int64()),
+            "nonzero_registers": pa.array([int((merged > 0).sum())], type=pa.int64()),
+            "n_registers": pa.array([1 << HLL_P], type=pa.int64()),
+        })
 
-    import duckdb  # exact side for self-validation (tiny query)
-
-    exact = duckdb.sql(
-        f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{sf_dir}/events.parquet')"
-    ).fetchone()[0]
-    rel = abs(est - exact) / exact * 100.0 if exact else 0.0
-    return ray.data.from_items([{
-        "estimate": int(round(est)), "exact": int(exact),
-        "rel_err_pct": round(rel, 2),
-    }])
+    parts = ds.map_batches(sketch, batch_format="pyarrow")
+    return parts.repartition(1).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
 
 
 # ----------------------------------------------- minhash estimate validation
 
+def _shingle_table(t: pa.Table) -> pa.Table:
+    """(doc_id, sh) rows: the distinct word-shingle hash set as a binary
+    blob (uint32 array bytes) — join-safe, zero-copy decode."""
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "sh": pa.array(
+            [_shingle_hashes(x).tobytes() for x in t["text"].to_pylist()],
+            type=pa.binary()),
+    })
+
+
 def q_minhash_validate(sf_dir: str) -> "ray.data.Dataset":
     """For every MinHash-LSH pair, compute the EXACT word-shingle
     Jaccard alongside the signature estimate (the sketch-quality audit a
-    production dedup pipeline ships with). Shingle-hash sets are
-    broadcast like the signature store. Columns: doc_a, doc_b,
+    production dedup pipeline ships with). Shingle sets reach the pairs
+    via the same two distributed hash joins as the signatures — no
+    driver-side store of any per-doc state. Columns: doc_a, doc_b,
     est_jaccard, exact_jaccard. (No SQL oracle: sketch internals.)"""
-    import ray as _ray
-
-    pairs = q_minhash_pairs(sf_dir)
-
+    # barrier: pairs' plan already holds two joins; chaining two more
+    # joins onto it in one streaming plan deadlocks, and the join
+    # output is mostly empty blocks (see _coalesce_for_join)
+    pairs, n_pairs = _coalesce_for_join(q_minhash_pairs(sf_dir))
+    if n_pairs == 0:
+        return ray.data.from_arrow(
+            _EMPTY_PAIRS.append_column(
+                "exact_jaccard", pa.array([], type=pa.float64()))
+        )
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # materialized for the same reason as the sig table in
+    # q_minhash_pairs: two join sides, one text scan
+    sh = ds.map_batches(_shingle_table, batch_format="pyarrow").materialize()
+    joined = _join_pairs_with(
+        pairs, sh, "sh",
+        num_partitions=_join_parts_for(max(n_pairs, sh.count())),
+    )
 
-    def shingles(t: pa.Table) -> pa.Table:
+    def exact(t: pa.Table) -> pa.Table:
+        ex = []
+        for ba, bb in zip(t["sh_a"].to_pylist(), t["sh_b"].to_pylist()):
+            sa = frozenset(np.frombuffer(ba, dtype=np.uint32).tolist())
+            sb = frozenset(np.frombuffer(bb, dtype=np.uint32).tolist())
+            u = len(sa | sb)
+            ex.append(len(sa & sb) / u if u else 0.0)
         return pa.table({
-            "doc_id": t["doc_id"],
-            "sh": pa.array(
-                [_shingle_hashes(x).tolist() for x in t["text"].to_pylist()],
-                type=pa.list_(pa.uint32())),
+            "doc_a": t["doc_a"],
+            "doc_b": t["doc_b"],
+            "est_jaccard": t["est_jaccard"],
+            "exact_jaccard": pa.array(ex, type=pa.float64()),
         })
 
-    rows = ds.map_batches(shingles, batch_format="pyarrow").take_all()
-    store = {int(r["doc_id"]): frozenset(r["sh"]) for r in rows}
-    ref = _ray.put(store)
-
-    class Exact:
-        def __init__(self) -> None:
-            self.store = _ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ex = []
-            for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-                sa, sb = self.store[int(a)], self.store[int(b)]
-                u = len(sa | sb)
-                ex.append(len(sa & sb) / u if u else 0.0)
-            return t.append_column("exact_jaccard", pa.array(ex, type=pa.float64()))
-
-    return pairs.map_batches(Exact, batch_format="pyarrow", concurrency=(1, 4))
+    return joined.map_batches(exact, batch_format="pyarrow")

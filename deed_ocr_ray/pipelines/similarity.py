@@ -40,16 +40,26 @@ def _load_queries(sf_dir: str, n: int = N_QUERIES) -> Tuple[np.ndarray, np.ndarr
     return q, qid, qlab
 
 
+_COS_CHUNK = 512  # corpus rows per temporary: bounds the O(q·chunk·dim)
+                  # cumsum scratch regardless of batch size
+
+
 def _cosine_block(q: np.ndarray, m: np.ndarray) -> np.ndarray:
     """cos(q_i, m_j) in float64, bit-matching DuckDB's
     ``list_cosine_similarity`` on DOUBLE[]: sequential accumulation
     (cumsum order, not BLAS pairwise) and ``dot/(sqrt(na)*sqrt(nb))``.
-    Verified element-exact against DuckDB on every non-self pair."""
-    prod = q[:, None, :] * m[None, :, :]
-    dots = np.cumsum(prod, axis=2)[:, :, -1]
+    Verified element-exact against DuckDB on every non-self pair.
+    The corpus axis is processed in ``_COS_CHUNK`` slices so the
+    (q, n, dim) scratch never exceeds (q, chunk, dim) doubles —
+    chunking along n changes no per-element arithmetic."""
     qn = np.sqrt(np.cumsum(q * q, axis=1)[:, -1])
     mn = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
-    return dots / (qn[:, None] * mn[None, :])
+    out = np.empty((q.shape[0], m.shape[0]), dtype=np.float64)
+    for s in range(0, m.shape[0], _COS_CHUNK):
+        mm = m[s : s + _COS_CHUNK]
+        prod = q[:, None, :] * mm[None, :, :]
+        out[:, s : s + _COS_CHUNK] = np.cumsum(prod, axis=2)[:, :, -1]
+    return out / (qn[:, None] * mn[None, :])
 
 
 class TopKScorer:
@@ -185,43 +195,100 @@ FROM (
 """
 
 
-def q_embedding_neardup(sf_dir: str, min_cos: float = 0.90) -> "ray.data.Dataset":
+MAX_LABEL_DOCS = 20_000   # hard compute cap: a label group beyond this is
+                          # NOT all-pairs-scanned (O(n²) on a hot label);
+                          # it emits an overflow sentinel row instead —
+                          # the skew guard mirroring dedup.MAX_BUCKET.
+_PAIR_CHUNK = 2048        # sub-block edge: pair scratch is bounded by
+                          # chunk² + chunk·dim regardless of group size
+
+
+def q_embedding_neardup(
+    sf_dir: str, min_cos: float = 0.90, max_label_docs: int = MAX_LABEL_DOCS,
+    pair_chunk: int = _PAIR_CHUNK,
+) -> "ray.data.Dataset":
     """Embedding-cosine near-duplicate detection, label-blocked (pairs
     are only searched within a label partition — the LSH-bucket analogue
     for dense vectors). Emits every within-label pair with
     cos >= ``min_cos`` PLUS each label's single closest pair (so the
     result is never empty and the operator's output schema is stable).
+
+    Skew guards: the within-label scan runs in ``pair_chunk`` ×
+    ``pair_chunk`` sub-blocks (memory bounded for any group size), and
+    a label larger than ``max_label_docs`` is not scanned at all — it
+    emits one OVERFLOW sentinel row ``(label, vec_a=-1,
+    vec_b=group_size, cos=0, is_above_threshold=False)`` so the skipped
+    work is observable, never silent.
     Columns: label, vec_a, vec_b, cos, is_above_threshold.
     (No SQL oracle: blocked heuristic recall.)"""
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding", "label"])
 
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            "label": pd.Series([], dtype="int64"),
+            "vec_a": pd.Series([], dtype="int64"),
+            "vec_b": pd.Series([], dtype="int64"),
+            "cos": pd.Series([], dtype="float64"),
+            "is_above_threshold": pd.Series([], dtype="bool"),
+        })
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         label = int(g["label"].iloc[0])
         ids = np.asarray(g["vec_id"], dtype=np.int64)
+        if len(ids) < 2:
+            return _empty()
+        if len(ids) > max_label_docs:  # hot-label guard: observable skip
+            return pd.DataFrame({
+                "label": np.array([label], dtype=np.int64),
+                "vec_a": np.array([-1], dtype=np.int64),
+                "vec_b": np.array([len(ids)], dtype=np.int64),
+                "cos": np.array([0.0]),
+                "is_above_threshold": np.array([False]),
+            })
         m = np.array(list(g["embedding"]), dtype=np.float64)
         order = np.argsort(ids)
         ids, m = ids[order], m[order]
-        if len(ids) < 2:
-            return pd.DataFrame({
-                "label": pd.Series([], dtype="int64"),
-                "vec_a": pd.Series([], dtype="int64"),
-                "vec_b": pd.Series([], dtype="int64"),
-                "cos": pd.Series([], dtype="float64"),
-                "is_above_threshold": pd.Series([], dtype="bool"),
-            })
-        cos = _cosine_block(m, m)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        vals = cos[ii, jj]
-        keep = vals >= min_cos
-        best = int(np.argmax(vals))
-        keep[best] = True  # closest pair always reported
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        best_val = -np.inf
+        best_pair = (0, 0, 0.0)
+        n = len(ids)
+        for si in range(0, n, pair_chunk):
+            mi = m[si : si + pair_chunk]
+            for sj in range(si, n, pair_chunk):
+                cos = _cosine_block(mi, m[sj : sj + pair_chunk])
+                if si == sj:  # strict upper triangle within the diagonal block
+                    ii, jj = np.triu_indices(cos.shape[0], k=1, m=cos.shape[1])
+                else:
+                    ii, jj = np.indices(cos.shape).reshape(2, -1)
+                vals = cos[ii, jj]
+                if len(vals) == 0:
+                    continue
+                keep = vals >= min_cos
+                out_a.append(ids[si + ii[keep]])
+                out_b.append(ids[sj + jj[keep]])
+                out_c.append(vals[keep])
+                k = int(np.argmax(vals))
+                if vals[k] > best_val:
+                    best_val = float(vals[k])
+                    best_pair = (int(ids[si + ii[k]]), int(ids[sj + jj[k]]), best_val)
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        c = np.concatenate(out_c) if out_c else np.array([], dtype=np.float64)
+        if best_val < min_cos:  # closest pair always reported
+            a = np.append(a, best_pair[0])
+            b = np.append(b, best_pair[1])
+            c = np.append(c, best_pair[2])
+        order = np.lexsort((b, a))  # deterministic (vec_a, vec_b) order
+        a, b, c = a[order], b[order], c[order]
         return pd.DataFrame({
-            "label": np.full(int(keep.sum()), label, dtype=np.int64),
-            "vec_a": ids[ii[keep]],
-            "vec_b": ids[jj[keep]],
-            "cos": vals[keep],
-            "is_above_threshold": vals[keep] >= min_cos,
+            "label": np.full(len(a), label, dtype=np.int64),
+            "vec_a": a.astype(np.int64),
+            "vec_b": b.astype(np.int64),
+            "cos": c,
+            "is_above_threshold": c >= min_cos,
         })
 
     return ds.groupby("label").map_groups(pairs, batch_format="pandas")

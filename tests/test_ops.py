@@ -58,7 +58,7 @@ def test_minhash_detects_planted_duplicates(ray_session, tmp_path):
     import pyarrow.parquet as pq
     import ray.data
 
-    from deed_ocr_ray.pipelines.dedup import MinHasher, minhash_signature
+    from deed_ocr_ray.pipelines.dedup import minhash_signature
 
     # identical docs -> identical signatures; near-identical -> high est
     a = "the quick brown fox jumps over the lazy dog and runs far away home"
@@ -69,6 +69,61 @@ def test_minhash_detects_planted_duplicates(ray_session, tmp_path):
     est_ac = float(np.mean(sa == sc))
     assert est_ab > 0.5 > est_ac
     assert float(np.mean(sa == minhash_signature(a))) == 1.0
+
+
+def test_simhash_batch_matches_scalar():
+    """The vectorized per-actor-cached batch path must agree bit-for-bit
+    with the scalar reference implementation."""
+    from deed_ocr_ray.pipelines.dedup import SimHashBatch, simhash64
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "   ",
+        "one",
+        "repeat repeat repeat repeat",
+        "unicode tøkens ünd ємøjí ❄ mixed 123",
+        "the quick brown fox jumps over the sleepy dog",
+    ]
+    sb = SimHashBatch()
+    batch = sb.signatures(texts)
+    for t, got in zip(texts, batch):
+        assert int(got) == simhash64(t), t[:30]
+    # second call exercises the warm token cache — identical results
+    again = sb.signatures(texts)
+    assert np.array_equal(batch, again)
+
+
+def test_lsh_overflow_observable(ray_session, tmp_path):
+    """Buckets above max_bucket are dropped from pair generation but
+    MUST surface in q_lsh_overflow — recall loss is never silent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deed_ocr_ray.pipelines.dedup import (
+        N_BANDS, q_lsh_overflow, q_minhash_pairs,
+    )
+
+    d = tmp_path / "hot"
+    d.mkdir()
+    hot = "identical boilerplate navigation footer text repeated across the site " * 3
+    uniq = [f"unique document number {i} with distinct content words {i*7}" for i in range(5)]
+    docs = [hot] * 30 + uniq
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs, type=pa.string()),
+    }), str(d / "documents.parquet"))
+
+    # cap below the hot-bucket size: every band bucket overflows
+    over = q_lsh_overflow(str(d), max_bucket=8).to_pandas().iloc[0]
+    assert over["n_overflow_buckets"] == N_BANDS
+    assert over["max_bucket_size"] == 30
+    assert over["dropped_doc_slots"] == 30 * N_BANDS
+    pairs = q_minhash_pairs(str(d)).to_pandas()  # default cap: no overflow
+    assert len(pairs) >= 30 * 29 // 2  # hot group fully paired
+    over_dflt = q_lsh_overflow(str(d)).to_pandas().iloc[0]
+    assert over_dflt["n_overflow_buckets"] == 0
+    assert over_dflt["dropped_doc_slots"] == 0
 
 
 def test_simhash_hamming_properties():
@@ -186,8 +241,17 @@ def test_hll_estimate_accuracy(ray_session):
     regs = np.maximum(_hll_registers(a[:1500]), _hll_registers(a[1500:]))
     assert np.array_equal(regs, _hll_registers(a))
 
+    # estimate-vs-exact audit (moved OUT of the operator: q_hll_users
+    # emits only its estimate; the oracle comparison lives here)
+    import duckdb
+
     row = q_hll_users("/root/testdata/sf0.001").to_pandas().iloc[0]
-    assert row["rel_err_pct"] < 5.0
+    exact = duckdb.sql(
+        "SELECT COUNT(DISTINCT user_id) FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchone()[0]
+    assert abs(row["estimate"] - exact) / exact < 0.05
+    assert 0 < row["nonzero_registers"] <= row["n_registers"]
 
 
 def test_minhash_estimates_track_exact_jaccard(ray_session):
@@ -249,3 +313,47 @@ def test_embedding_neardup_matches_bruteforce(ray_session):
     got_above = {(int(r["vec_a"]), int(r["vec_b"]))
                  for _, r in got[got["is_above_threshold"]].iterrows()}
     assert got_above == want_above
+
+
+def test_embedding_neardup_hot_label_capped(ray_session, tmp_path):
+    """A label group above max_label_docs is skipped with an observable
+    overflow row (bounded memory on skew); sub-blocked scan of a group
+    crossing _PAIR_CHUNK still matches an unchunked brute force."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deed_ocr_ray.pipelines import similarity as sim
+
+    rng = np.random.RandomState(42)
+    dim = 8
+    hot = rng.randn(40, dim)          # label 0: over the (test) cap
+    cold = rng.randn(6, dim)          # label 1: normal
+    cold[1] = cold[0] * 1.5           # planted colinear near-dup pair
+    emb = np.vstack([hot, cold])
+    labels = np.array([0] * 40 + [1] * 6, dtype=np.int64)
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(emb)), type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in emb],
+                              type=pa.list_(pa.float64())),
+        "label": pa.array(labels),
+    }), str(d / "embeddings.parquet"))
+
+    got = sim.q_embedding_neardup(str(d), max_label_docs=20).to_pandas()
+    over = got[got["vec_a"] < 0]
+    assert len(over) == 1 and int(over.iloc[0]["label"]) == 0
+    assert int(over.iloc[0]["vec_b"]) == 40  # group size surfaced
+    lab1 = got[(got["label"] == 1) & (got["vec_a"] >= 0)]
+    assert {(int(r["vec_a"]), int(r["vec_b"]))
+            for _, r in lab1[lab1["is_above_threshold"]].iterrows()} == {(40, 41)}
+
+    # chunked == unchunked on a group larger than the chunk edge
+    chunked = sim.q_embedding_neardup(str(d), pair_chunk=16).to_pandas()
+    plain = sim.q_embedding_neardup(str(d)).to_pandas()
+    for df in (chunked, plain):
+        df.sort_values(["label", "vec_a", "vec_b"], inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    assert chunked[["label", "vec_a", "vec_b", "is_above_threshold"]].equals(
+        plain[["label", "vec_a", "vec_b", "is_above_threshold"]])
+    assert np.allclose(chunked["cos"], plain["cos"])
