@@ -68,14 +68,18 @@ def cmd_extract(args: argparse.Namespace) -> int:
 
 
 def cmd_report(args: argparse.Namespace) -> int:
-    from .state.report import format_report, retry_candidates, run_report
+    from .state.report import cost_breakdown, format_report, retry_candidates, run_report
 
     summary = run_report(args.output)
     cands = retry_candidates(args.output, args.error_types or None)
+    costs = cost_breakdown(summary, args.profile) if args.costs else None
     if args.json:
-        print(json.dumps({**summary, "retry_candidates": cands}))
+        out = {**summary, "retry_candidates": cands}
+        if costs:
+            out["cost_breakdown"] = costs
+        print(json.dumps(out))
     else:
-        print(format_report(summary, cands))
+        print(format_report(summary, cands, costs))
     return 0
 
 
@@ -116,6 +120,10 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--error-types", nargs="*", default=None,
                     help="error classes that qualify for retry (default: transient)")
     rp.add_argument("--json", action="store_true")
+    rp.add_argument("--costs", action="store_true",
+                    help="append the estimated-cost breakdown (G6)")
+    rp.add_argument("--profile", default="standard",
+                    help="price-table profile (standard | high_accuracy)")
     rp.set_defaults(fn=cmd_report)
 
     xp = sub.add_parser("export", help="convert extracted parquet to json/csv")

@@ -57,6 +57,72 @@ def run_report(out_dir: str, planned_parts: Optional[int] = None) -> Dict[str, A
     }
 
 
+# ------------------------------------------------------------- cost model
+#
+# Analogue of the reference's token-price roll-up
+# (deed_ocr/workflow.py:618-698 ``_calculate_estimated_cost``): a price
+# table keyed by profile, unit prices applied to the run's counters,
+# a structured breakdown with the same shape (usage, per-unit pricing,
+# estimated_costs_usd, formatted strings). The reference prices
+# input/output TOKENS per model; this engine's billable units are the
+# manifest counters: bytes read, bytes written, extraction CPU seconds.
+
+PRICE_TABLE = {
+    # unit prices in USD; profiles mirror the reference's
+    # normal/high-accuracy split (workflow.py:664-672)
+    "standard": {"read_per_gib": 0.02, "write_per_gib": 0.05, "cpu_per_hour": 0.048},
+    "high_accuracy": {"read_per_gib": 0.02, "write_per_gib": 0.05, "cpu_per_hour": 0.28},
+}
+DEFAULT_PROFILE = "standard"
+_GIB = 1024 ** 3
+
+
+def cost_breakdown(summary: Dict[str, Any], profile: str = DEFAULT_PROFILE) -> Dict[str, Any]:
+    """Estimated-cost roll-up from a run summary's counters (G6).
+
+    Unknown profiles fall back to the default with a note, mirroring
+    the reference's unknown-model fallback (workflow.py:649-653)."""
+    if profile in PRICE_TABLE:
+        prices = PRICE_TABLE[profile]
+        used_profile = profile
+    else:
+        prices = PRICE_TABLE[DEFAULT_PROFILE]
+        used_profile = f"{DEFAULT_PROFILE} (unknown profile {profile!r})"
+    gib_in = summary["bytes_in"] / _GIB
+    gib_out = summary["bytes_out"] / _GIB
+    cpu_h = summary["extract_cpu_s"] / 3600.0
+    read_cost = gib_in * prices["read_per_gib"]
+    write_cost = gib_out * prices["write_per_gib"]
+    compute_cost = cpu_h * prices["cpu_per_hour"]
+    total = read_cost + write_cost + compute_cost
+    return {
+        "profile": used_profile,
+        "usage": {
+            "bytes_in": summary["bytes_in"],
+            "bytes_out": summary["bytes_out"],
+            "extract_cpu_s": round(summary["extract_cpu_s"], 3),
+            "rows": summary["row_count"],
+        },
+        "pricing": dict(prices),
+        "estimated_costs_usd": {
+            "read": round(read_cost, 6),
+            "write": round(write_cost, 6),
+            "compute": round(compute_cost, 6),
+            "total": round(total, 6),
+        },
+        "cost_breakdown_formatted": {
+            "read": f"${read_cost:.6f} ({gib_in:.3f} GiB × ${prices['read_per_gib']}/GiB)",
+            "write": f"${write_cost:.6f} ({gib_out:.3f} GiB × ${prices['write_per_gib']}/GiB)",
+            "compute": f"${compute_cost:.6f} ({cpu_h:.4f} cpu-h × ${prices['cpu_per_hour']}/h)",
+            "total": f"${total:.6f}",
+            "per_1k_rows": (
+                f"${total / summary['row_count'] * 1000:.6f}"
+                if summary["row_count"] else "$0.000000"
+            ),
+        },
+    }
+
+
 def retry_candidates(
     out_dir: str, error_types: Optional[List[str]] = None
 ) -> List[int]:
@@ -73,8 +139,13 @@ def retry_candidates(
     return out
 
 
-def format_report(summary: Dict[str, Any], candidates: List[int]) -> str:
-    """Human-readable run report (the S16 retry-report sink analogue)."""
+def format_report(
+    summary: Dict[str, Any],
+    candidates: List[int],
+    costs: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Human-readable run report (the S16 retry-report sink analogue),
+    optionally with the G6 cost breakdown appended."""
     lines = [
         "=== extraction run report ===",
         f"output:            {summary['out_dir']}",
@@ -95,4 +166,9 @@ def format_report(summary: Dict[str, Any], candidates: List[int]) -> str:
         lines.append("  re-run: delete their manifests, then extract --resume")
     else:
         lines.append("retry candidates: none")
+    if costs:
+        lines.append(f"estimated cost ({costs['profile']}):")
+        fmt = costs["cost_breakdown_formatted"]
+        for k in ("read", "write", "compute", "total", "per_1k_rows"):
+            lines.append(f"  {k:12s} {fmt[k]}")
     return "\n".join(lines)

@@ -43,6 +43,47 @@ def test_run_report_aggregates_manifests(run_dir):
     assert "rows:" in txt and "errors by type:" in txt
 
 
+def test_cost_breakdown_rollup(run_dir):
+    """G6 price-table roll-up (workflow.py:618-698 analogue): unit
+    prices × manifest counters, structured + formatted breakdown,
+    unknown-profile fallback."""
+    from deed_ocr_ray.state.report import PRICE_TABLE, cost_breakdown
+
+    _, out = run_dir
+    s = run_report(out)
+    c = cost_breakdown(s)
+    assert c["profile"] == "standard"
+    est = c["estimated_costs_usd"]
+    gib = 1024 ** 3
+    assert est["read"] == round(s["bytes_in"] / gib * PRICE_TABLE["standard"]["read_per_gib"], 6)
+    assert est["write"] == round(s["bytes_out"] / gib * PRICE_TABLE["standard"]["write_per_gib"], 6)
+    assert est["compute"] == round(
+        s["extract_cpu_s"] / 3600 * PRICE_TABLE["standard"]["cpu_per_hour"], 6)
+    assert est["total"] == round(est["read"] + est["write"] + est["compute"], 6)
+    assert c["usage"]["rows"] == 120
+    assert c["cost_breakdown_formatted"]["total"].startswith("$")
+    # high-accuracy profile prices compute higher (same counters)
+    hi = cost_breakdown(s, "high_accuracy")
+    assert hi["estimated_costs_usd"]["compute"] >= est["compute"]
+    # unknown profile falls back with a note (reference workflow.py:649-653)
+    fb = cost_breakdown(s, "nope")
+    assert fb["pricing"] == PRICE_TABLE["standard"]
+    assert "unknown profile" in fb["profile"]
+    # the report renders the breakdown
+    txt = format_report(s, [], c)
+    assert "estimated cost" in txt and "per_1k_rows" in txt
+
+
+def test_cli_report_costs_json(run_dir, capsys):
+    _, out = run_dir
+    rc = cli_main(["report", out, "--json", "--costs", "--profile", "high_accuracy"])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    cb = payload["cost_breakdown"]
+    assert cb["profile"] == "high_accuracy"
+    assert set(cb["estimated_costs_usd"]) == {"read", "write", "compute", "total"}
+
+
 def test_retry_candidates_by_class(run_dir):
     _, out = run_dir
     # content-shaped errors are not retry candidates by default
