@@ -104,6 +104,20 @@ def _url_dedup_query(sf_dir: str) -> Any:
     )
 
 
+def _pdf_layout_query(sf_dir: str) -> Any:
+    """Word-level PDF layout hierarchy (M6: page→block→line→word with
+    per-node confidences) over the corpus's PDF payloads, flattened to
+    one row per word."""
+    from deed_ocr_ray.pipelines.corpus import pages_corpus_for
+    from deed_ocr_ray.sources.pages import read_pages
+    from deed_ocr_ray.stages.pdf_extract import PdfLayoutStage
+
+    corpus = pages_corpus_for(sf_dir)
+    ds = read_pages(corpus, columns=["url", "html"])
+    return ds.map_batches(PdfLayoutStage, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
 def entry() -> Any:
     return _extract_query("/root/testdata/sf0.001")
 
@@ -123,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_prep": prep.q_training_prep,
         "extract_spans": _extract_spans_query,
         "url_dedup": _url_dedup_query,
+        "pdf_layout": _pdf_layout_query,
         # relational operator coverage (SQL oracles)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q6_revenue_filter": relational.q6_revenue_filter,

@@ -55,3 +55,72 @@ def test_watermark_removed_from_pdf_lines():
     pdf = make_pdf([["before UNOFFICIAL COPY after"]])
     texts, _ = parse_pdf_pages(pdf)
     assert texts == ["before after"]
+
+
+# -------------------------------------------------- layout hierarchy (M6)
+
+def test_layout_hierarchy_roundtrip():
+    from deed_ocr_ray.stages.pdf_extract import parse_pdf_layout
+
+    pdf = make_pdf([["Hello world", "Second line"], ["Page two only"]])
+    pages = parse_pdf_layout(pdf)
+    assert [p["page_number"] for p in pages] == [1, 2]
+    p1 = pages[0]
+    assert p1["n_blocks"] == len(p1["blocks"]) >= 1
+    lines = [l for b in p1["blocks"] for l in b["lines"]]
+    assert [l["text"] for l in lines] == ["Hello world", "Second line"]
+    assert [w["text"] for w in lines[0]["words"]] == ["Hello", "world"]
+    # per-node confidences: words alnum ratio, parents average upward
+    for b in p1["blocks"]:
+        for l in b["lines"]:
+            for w in l["words"]:
+                assert 0.0 <= w["conf"] <= 1.0
+            assert l["conf"] == round(
+                sum(w["conf"] for w in l["words"]) / len(l["words"]), 3)
+        assert b["conf"] == round(
+            sum(l["conf"] for l in b["lines"]) / len(b["lines"]), 3)
+
+
+def test_layout_words_match_page_text_tokens():
+    from deed_ocr_ray.stages.pdf_extract import parse_pdf_layout
+
+    spec = [["alpha beta gamma", "delta"], ["eps (x) zeta"]]
+    pdf = make_pdf(spec, compress=True)
+    texts, _ = parse_pdf_pages(pdf)
+    pages = parse_pdf_layout(pdf)
+    for text, page in zip(texts, pages):
+        layout_words = [w["text"] for b in page["blocks"]
+                        for l in b["lines"] for w in l["words"]]
+        assert layout_words == text.split()
+
+
+def test_layout_absorbs_faults():
+    from deed_ocr_ray.stages.pdf_extract import parse_pdf_layout
+
+    assert parse_pdf_layout(b"not a pdf at all") == []
+    trunc = truncate_pdf(make_pdf([["some text"] for _ in range(3)]))
+    pages = parse_pdf_layout(trunc)  # no exception; pages may be partial
+    for p in pages:
+        assert p["n_blocks"] == len(p["blocks"])
+
+
+def test_layout_stage_nested_and_flattened(ray_session):
+    import pyarrow as pa
+
+    from deed_ocr_ray.stages.pdf_extract import (
+        LAYOUT_TYPE, PdfLayoutStage, parse_pdf_layout,
+    )
+
+    pdf = make_pdf([["Hello world", "Second line"], ["Page two only"]])
+    batch = pa.table({
+        "url": pa.array(["u1", "u2"], type=pa.string()),
+        "html": pa.array([pdf, b"<html>not pdf</html>"], type=pa.binary()),
+    })
+    nested = PdfLayoutStage(flatten=False)(batch)
+    assert nested.num_rows == 1  # non-PDF row dropped
+    assert nested.schema.field("layout").type == LAYOUT_TYPE
+    flat = PdfLayoutStage(flatten=True)(batch)
+    n_words = sum(len(l["words"]) for p in parse_pdf_layout(pdf)
+                  for b in p["blocks"] for l in b["lines"])
+    assert flat.num_rows == n_words == 7
+    assert flat.column("word").to_pylist()[:2] == ["Hello", "world"]
