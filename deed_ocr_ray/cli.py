@@ -83,6 +83,14 @@ def cmd_report(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_debug_dump(args: argparse.Namespace) -> int:
+    args._owns_ray = _init_ray(args.num_cpus)
+    from .pipelines.extract_pipeline import dump_page_debug
+
+    print(json.dumps(dump_page_debug(args.input, args.dest)))
+    return 0
+
+
 def cmd_export(args: argparse.Namespace) -> int:
     args._owns_ray = _init_ray(args.num_cpus)
     from .pipelines.extract_pipeline import export_extracted
@@ -125,6 +133,14 @@ def build_parser() -> argparse.ArgumentParser:
     rp.add_argument("--profile", default="standard",
                     help="price-table profile (standard | high_accuracy)")
     rp.set_defaults(fn=cmd_report)
+
+    dd = sub.add_parser("debug-dump",
+                        help="write one debug text file per PDF page "
+                             "({md5(url)[:12]}_page_{i:03d}.txt — the S5 sink)")
+    dd.add_argument("input", help="pages parquet file/dir/glob")
+    dd.add_argument("dest", help="destination directory for page files")
+    dd.add_argument("--num-cpus", type=int, default=0)
+    dd.set_defaults(fn=cmd_debug_dump)
 
     xp = sub.add_parser("export", help="convert extracted parquet to json/csv")
     xp.add_argument("output", help="extraction output directory")

@@ -452,11 +452,22 @@ class SimHashBatch:
         })
 
 
+# Module-level singletons: SimHash runs as a TASK-pool map (scales to
+# every CPU with no actor-ramp latency); Ray reuses worker processes,
+# so the module-level instance's token cache persists across batches on
+# each worker — actor-style state without the actor pool.
+_SIMHASH = SimHashBatch()
+
+
+def _simhash_fn(t: pa.Table) -> pa.Table:
+    return _SIMHASH(t)
+
+
 def q_simhash(sf_dir: str) -> "ray.data.Dataset":
     """Per-doc 64-bit SimHash (as int64, two's complement).
     Columns: doc_id, simhash. (No SQL oracle: sketch-based.)"""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ds.map_batches(SimHashBatch, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(_simhash_fn, batch_format="pyarrow")
 
 
 class _SimHashBands(SimHashBatch):
@@ -477,6 +488,13 @@ class _SimHashBands(SimHashBatch):
             "doc_id": pa.array(doc_ids),
             "simhash": pa.array(np.repeat(sigs.astype(np.int64), 4)),
         })
+
+
+_SIMHASH_BANDS = _SimHashBands()
+
+
+def _simhash_bands_fn(t: pa.Table) -> pa.Table:
+    return _SIMHASH_BANDS(t)
 
 
 def q_simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
@@ -505,7 +523,7 @@ def q_simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset
             "hamming": pa.array([r[2] for r in rows], type=pa.int64()),
         })
 
-    exploded = ds.map_batches(_SimHashBands, batch_format="pyarrow", concurrency=(1, 8))
+    exploded = ds.map_batches(_simhash_bands_fn, batch_format="pyarrow")
     cand = exploded.groupby("part").map_groups(pairs, batch_format="pandas")
     return cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 

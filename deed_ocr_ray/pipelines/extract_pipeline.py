@@ -296,6 +296,54 @@ def export_extracted(out_dir: str, dest: str, fmt: str = "json") -> int:
     return ray.data.read_parquet(out_dir, columns=["status"]).count()
 
 
+def dump_page_debug(input_path: Union[str, Sequence[str]], dest: str) -> Dict[str, Any]:
+    """Per-page debug file sink (S5 analogue,
+    deed_ocr/utils/pdf_converter.py:128-155 ``save_images`` — one file
+    per page named ``{name}_page_{i:03d}``). The reference rasterizes to
+    PNG; this environment has no rasterizer in either repo, so the
+    debug payload is the page's parsed TEXT — the naming convention,
+    per-page fan-out and distributed sink shape are the operator.
+
+    Each map task writes its own rows' files (a file fan-out sink, no
+    driver loop); names key on md5(url) so they are stable and
+    collision-free across shards. Returns counters."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from ..stages.pdf_extract import parse_pdf_pages
+
+    shards = find_shards(input_path)
+    if not shards:
+        raise FileNotFoundError(f"no input shards under {input_path!r}")
+    os.makedirs(dest, exist_ok=True)
+    ds = ray.data.read_parquet(shards, columns=["url", "html"])
+
+    def dump(t: "pa.Table") -> "pa.Table":
+        n_docs = n_pages = 0
+        for url, html in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            if html is None or not bytes(html).startswith(b"%PDF"):
+                continue
+            pages, _ = parse_pdf_pages(bytes(html))
+            slug = hashlib.md5(url.encode("utf-8")).hexdigest()[:12]
+            for i, text in enumerate(pages, start=1):
+                with open(os.path.join(dest, f"{slug}_page_{i:03d}.txt"), "w") as f:
+                    f.write(text)
+                n_pages += 1
+            n_docs += 1
+        return pa.table({
+            "n_docs": pa.array([n_docs], type=pa.int64()),
+            "n_pages": pa.array([n_pages], type=pa.int64()),
+        })
+
+    counts = ds.map_batches(dump, batch_format="pyarrow")
+    return {
+        "n_docs": int(counts.sum("n_docs") or 0),
+        "n_pages": int(counts.sum("n_pages") or 0),
+        "dest": dest,
+    }
+
+
 def iter_extracted(
     out_dir: str,
     columns: Optional[List[str]] = None,

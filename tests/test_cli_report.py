@@ -123,6 +123,42 @@ def test_export_formats(run_dir, tmp_path, fmt):
                    for f in files if f.endswith(".parquet")) == 120
 
 
+def test_debug_dump_page_files(run_dir, tmp_path, capsys):
+    """S5 page-file sink: one {md5(url)[:12]}_page_{i:03d}.txt per PDF
+    page, written by the map tasks (pdf_converter.py:128-155 analogue)."""
+    import hashlib
+
+    corpus, _ = run_dir
+    dest = str(tmp_path / "pages_debug")
+    rc = cli_main(["debug-dump", corpus, dest])
+    assert rc == 0
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    files = sorted(os.listdir(dest))
+    assert counts["n_pages"] == len(files) > 0
+    assert all(f.endswith(".txt") and "_page_" in f for f in files)
+    # a known PDF url maps to its named per-page files with parsed text
+    import glob as _glob
+
+    from deed_ocr_ray.stages.pdf_extract import parse_pdf_pages
+
+    url = n_pages = None
+    for shard in sorted(_glob.glob(os.path.join(corpus, "*.parquet"))):
+        t = pq.read_table(shard, columns=["url", "html"])
+        for u, h in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            if h and bytes(h).startswith(b"%PDF"):
+                pages, _ = parse_pdf_pages(bytes(h))
+                if pages:
+                    url, n_pages = u, len(pages)
+                    break
+        if url:
+            break
+    assert url is not None
+    slug = hashlib.md5(url.encode()).hexdigest()[:12]
+    mine = [f for f in files if f.startswith(slug)]
+    assert mine == [f"{slug}_page_{i:03d}.txt" for i in range(1, n_pages + 1)]
+    assert open(os.path.join(dest, mine[0])).read().strip()
+
+
 def test_extractor_registry_override(ray_session):
     from deed_ocr_ray.stages.extract import BRANCHES, extract_row
 
