@@ -28,8 +28,11 @@ import pyarrow as pa
 from ..functions.errors import classify_exception
 from ..functions.normalize import dedup_preserve_order, fixpoint_normalize
 from ..functions.regex_fields import (
+    OIL_MINERAL_GATE,
     RE_OIL_MINERAL,
     RE_RESERVE,
+    RESERVE_GATE,
+    _SENTENCE_SPLIT,
     extract_field_spans,
     keyword_sentences,
     suppress_near_dups,
@@ -159,8 +162,9 @@ def _extract_row_inner(
         return res
     body, branch_spans, title, n_blocks, n_kept = res
 
-    field_spans = extract_field_spans(body)
-    fields = _build_fields(body, field_spans, title)
+    tl = body.lower()  # one lowercase pass shared by every gate below
+    field_spans = extract_field_spans(body, tl)
+    fields = _build_fields(body, field_spans, title, tl)
     return {
         "payload_kind": kind,
         "extracted_text": body,
@@ -187,7 +191,8 @@ def _error_row(kind: str, error_type: str) -> Dict[str, Any]:
 
 
 def _build_fields(
-    body: str, field_spans: List[Tuple[str, int, int, float]], title: str
+    body: str, field_spans: List[Tuple[str, int, int, float]], title: str,
+    tl: Optional[str] = None,
 ) -> Dict[str, Any]:
     """Typed fields struct from spans: exact dedup (D1,
     workflow.py:600-616) then near-dup suppression (D2,
@@ -203,12 +208,23 @@ def _build_fields(
             seen.add(t)
             legal.append((t, score))
     legal = suppress_near_dups(legal)
+    if tl is None:
+        tl = body.lower()
+    # substring gates first (memchr-speed over the shared lowercase
+    # body); the sentence split is computed at most once and shared
+    parts = (
+        _SENTENCE_SPLIT.split(body)
+        if any(g in tl for g in RESERVE_GATE + OIL_MINERAL_GATE)
+        else None
+    )
     return {
         "title": title,
         "legal_description_block": [t for t, _ in legal],
         "trs": dedup_preserve_order(trs),
-        "reserve_retain": dedup_preserve_order(keyword_sentences(body, RE_RESERVE)),
-        "oil_mineral": dedup_preserve_order(keyword_sentences(body, RE_OIL_MINERAL)),
+        "reserve_retain": dedup_preserve_order(
+            keyword_sentences(body, RE_RESERVE, RESERVE_GATE, tl, parts)),
+        "oil_mineral": dedup_preserve_order(
+            keyword_sentences(body, RE_OIL_MINERAL, OIL_MINERAL_GATE, tl, parts)),
     }
 
 
