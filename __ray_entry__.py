@@ -184,8 +184,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": similarity.q_knn_cosine,
         "knn_ivf": similarity.q_knn_ivf,
         "embedding_neardup": similarity.q_embedding_neardup,
-        # multimodal plumbing (stubbed decode, real Ray plumbing)
+        # multimodal: real PNG/PPM decode + features; fake decode only
+        # for codec-bound formats (stub boundary)
         "media_pipeline": multimodal.q_media_pipeline,
+        "image_features": multimodal.q_image_features,
     }
 
 

@@ -2,24 +2,38 @@
 
 Images/audio/video are carried as ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as
-actor-pool ``map_batches`` stages. The decode kernels themselves are
-STUBS in this environment (no image/audio libraries exist in the
-container): ``require_real_codecs=True`` raises ``NotImplementedError``
-at the stub boundary, while the default deterministic fake decoder
-exercises the REAL Ray-side plumbing — schema, batch sizing for fat
-binary rows, actor signature, output layout — which is the part the
-engine owns (the reference's analogue: rasterizer/OCR engines behind
-factory seams, deed_ocr/utils/pdf_converter.py:17-26,
+actor-pool ``map_batches`` stages.
+
+Decode is REAL for PNG and binary PPM — pure-stdlib codecs implemented
+from the public specs (``functions/imagecodec.py``: zlib container +
+scanline unfiltering, netpbm header) — so the pipeline exercises true
+pixel math (decode → nearest-resize → feature extraction). Codec-bound
+formats (JPEG/WEBP/video) remain behind the stub boundary:
+``require_real_codecs=True`` raises ``NotImplementedError`` when a
+payload is not a format the in-repo codecs can decode, while the
+default falls back to a deterministic fake for them (exercising the
+Ray-side plumbing). The reference's analogue: rasterizer/OCR engines
+behind factory seams (deed_ocr/utils/pdf_converter.py:17-26,
 deed_ocr/ocr/vision_ocr.py:24-46).
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
 
+import numpy as np
 import pyarrow as pa
 import ray.data
+
+from ..functions.imagecodec import (
+    PNG_MAGIC,
+    decode_png,
+    decode_ppm,
+    encode_png,
+    image_features,
+    png_info,
+    resize_nearest,
+)
 
 MEDIA_META_TYPE = pa.struct(
     [
@@ -33,12 +47,21 @@ MEDIA_META_TYPE = pa.struct(
 )
 
 
+def sniff_media(payload: bytes) -> str:
+    if payload.startswith(PNG_MAGIC):
+        return "png"
+    if payload.startswith(b"P6"):
+        return "ppm"
+    return "unknown"
+
+
 def _fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in decoder: metadata derived purely from the
-    payload bytes (stable across runs/platforms)."""
+    """Deterministic stand-in decoder for formats without an in-repo
+    codec: metadata derived purely from the payload bytes (stable
+    across runs/platforms)."""
     h = hashlib.sha1(payload).digest()
     return {
-        "format": ["png", "jpeg", "webp", "tiff"][h[0] % 4],
+        "format": ["jpeg", "webp", "tiff", "mp4"][h[0] % 4],
         "width": 64 + (h[1] % 64) * 16,
         "height": 64 + (h[2] % 64) * 16,
         "n_frames": 1 + h[3] % 4,
@@ -47,8 +70,26 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real pixel decode for the in-repo codecs. Raises
+    ``NotImplementedError`` for anything else — the stub boundary."""
+    kind = sniff_media(payload)
+    if kind == "png":
+        return decode_png(payload)
+    if kind == "ppm":
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        "no in-repo codec for this payload (PNG/PPM decode is real; "
+        "JPEG/WEBP/video need external codecs absent from this environment)"
+    )
+
+
 class MediaDecoder:
     """Actor-pool decode stage: binary column in, metadata struct out.
+
+    PNG/PPM payloads get REAL header/pixel-derived metadata; other
+    formats use the deterministic fake unless ``require_real_codecs``
+    (then they raise at decode time — the per-format stub boundary).
 
     Keep ``batch_size`` SMALL for fat binary rows (payload × batch ×
     concurrency must fit the worker heap); the pipeline builder below
@@ -59,21 +100,70 @@ class MediaDecoder:
                  require_real_codecs: bool = False) -> None:
         self.payload_column = payload_column
         self.require_real_codecs = require_real_codecs
-        if require_real_codecs:
-            # the stub boundary: a real deployment plugs PIL/ffmpeg here
-            raise NotImplementedError(
-                "no image/audio codecs available in this environment; "
-                "run with require_real_codecs=False for the deterministic stub"
-            )
+
+    def _meta(self, payload: bytes) -> dict:
+        kind = sniff_media(payload)
+        if kind == "png":
+            w, h, _ = png_info(payload)
+        elif kind == "ppm":
+            arr = decode_ppm(payload)
+            h, w = arr.shape[:2]
+        elif self.require_real_codecs:
+            decode_image(payload)  # raises NotImplementedError
+            raise AssertionError("unreachable")
+        else:
+            return _fake_decode(payload)
+        return {
+            "format": kind,
+            "width": int(w),
+            "height": int(h),
+            "n_frames": 1,
+            "bytes": len(payload),
+            "sha1": hashlib.sha1(payload).hexdigest(),
+        }
 
     def __call__(self, t: pa.Table) -> pa.Table:
         metas = [
-            _fake_decode(p if p is not None else b"")
+            self._meta(p if p is not None else b"")
             for p in t[self.payload_column].to_pylist()
         ]
         return t.drop_columns([self.payload_column]).append_column(
             "media_meta", pa.array(metas, type=MEDIA_META_TYPE)
         )
+
+
+class ImageFeatures:
+    """Actor-pool stage doing REAL pixel work per row: decode (PNG/PPM)
+    → nearest-resize to ``thumb`` × ``thumb`` → feature extraction
+    (channel means, std, brightness-histogram entropy). The A4
+    model-weights analogue with actual math instead of a stub."""
+
+    def __init__(self, payload_column: str = "payload", thumb: int = 32) -> None:
+        self.payload_column = payload_column
+        self.thumb = thumb
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cols = {"doc_id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [], "std": [], "entropy": []}
+        for did, p in zip(t["doc_id"].to_pylist(), t[self.payload_column].to_pylist()):
+            img = decode_image(bytes(p))
+            h, w = img.shape[:2]
+            feats = image_features(resize_nearest(img, self.thumb, self.thumb))
+            cols["doc_id"].append(did)
+            cols["width"].append(w)
+            cols["height"].append(h)
+            for k in ("mean_r", "mean_g", "mean_b", "std", "entropy"):
+                cols[k].append(feats[k])
+        return pa.table({
+            "doc_id": pa.array(cols["doc_id"], type=pa.int64()),
+            "width": pa.array(cols["width"], type=pa.int32()),
+            "height": pa.array(cols["height"], type=pa.int32()),
+            "mean_r": pa.array(cols["mean_r"], type=pa.float64()),
+            "mean_g": pa.array(cols["mean_g"], type=pa.float64()),
+            "mean_b": pa.array(cols["mean_b"], type=pa.float64()),
+            "std": pa.array(cols["std"], type=pa.float64()),
+            "entropy": pa.array(cols["entropy"], type=pa.float64()),
+        })
 
 
 class FrameSampler:
@@ -100,11 +190,21 @@ class FrameSampler:
         })
 
 
+def synth_png(doc_id: int, w: int = 24, h: int = 16) -> bytes:
+    """Deterministic RGB PNG payload for a doc_id (fixture generator —
+    real encoded pixels, stable across runs/platforms)."""
+    rng = np.random.RandomState(doc_id & 0x7FFFFFFF)
+    base = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    y = np.arange(h, dtype=np.uint16)[:, None, None]
+    img = ((base.astype(np.uint16) + y * 5) % 256).astype(np.uint8)
+    return encode_png(img, filter_type=doc_id % 5)  # exercise every filter
+
+
 def q_media_pipeline(sf_dir: str) -> "ray.data.Dataset":
     """Media plumbing demo over documents-as-payloads: text bytes stand
-    in for an image column; decode (stub) then frame-sample.
-    Columns: doc_id, frame_idx, frame_key. (No SQL oracle: stubbed
-    decode.)"""
+    in for an undecodable column; decode (fake for unknown formats)
+    then frame-sample. Columns: doc_id, frame_idx, frame_key.
+    (No SQL oracle: stubbed decode for unknown formats.)"""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = ds.map_batches(
         lambda t: pa.table({
@@ -117,3 +217,24 @@ def q_media_pipeline(sf_dir: str) -> "ray.data.Dataset":
                         batch_size=32, concurrency=(1, 4))
     return ds.map_batches(FrameSampler, fn_constructor_kwargs={"every_n": 2},
                           batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+
+
+def q_image_features(sf_dir: str) -> "ray.data.Dataset":
+    """REAL image pipeline: deterministic PNG payloads (every scanline
+    filter exercised) → in-repo decode → resize → features, all in
+    actor-pool stages with small batches (fat-row guidance).
+    Columns: doc_id, width, height, mean_r, mean_g, mean_b, std,
+    entropy. (No SQL oracle: pixel math not expressible in SQL.)"""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make_payloads(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pa.array(
+                [synth_png(int(d)) for d in t["doc_id"].to_pylist()],
+                type=pa.binary()),
+        })
+
+    ds = ds.map_batches(make_payloads, batch_format="pyarrow")
+    return ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                          batch_size=64, concurrency=(1, 4))

@@ -182,11 +182,47 @@ def test_media_pipeline_deterministic(ray_session):
     assert set(a.columns) == {"doc_id", "frame_idx", "frame_key"}
 
 
-def test_media_decoder_stub_boundary():
-    from deed_ocr_ray.pipelines.multimodal import MediaDecoder
+def test_media_decoder_real_codecs_and_stub_boundary():
+    import pyarrow as pa
 
+    from deed_ocr_ray.functions.imagecodec import encode_ppm
+    from deed_ocr_ray.pipelines.multimodal import MediaDecoder, synth_png
+
+    png = synth_png(7)
+    ppm = encode_ppm(np.full((5, 9, 3), 40, dtype=np.uint8))
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "payload": pa.array([png, ppm], type=pa.binary()),
+    })
+    out = MediaDecoder(require_real_codecs=True)(batch)
+    metas = out["media_meta"].to_pylist()
+    assert metas[0]["format"] == "png" and metas[0]["width"] == 24
+    assert metas[1]["format"] == "ppm" and (metas[1]["width"], metas[1]["height"]) == (9, 5)
+    # stub boundary: an undecodable format raises ONLY in strict mode
+    jpeg_ish = pa.table({
+        "doc_id": pa.array([3], type=pa.int64()),
+        "payload": pa.array([b"\xff\xd8\xff\xe0 not decodable"], type=pa.binary()),
+    })
     with pytest.raises(NotImplementedError):
-        MediaDecoder(require_real_codecs=True)
+        MediaDecoder(require_real_codecs=True)(jpeg_ish)
+    fake = MediaDecoder()(jpeg_ish)["media_meta"].to_pylist()[0]
+    assert fake["format"] in {"jpeg", "webp", "tiff", "mp4"}
+
+
+def test_image_features_real_pixels(ray_session):
+    from deed_ocr_ray.functions.imagecodec import (
+        decode_png, image_features, resize_nearest,
+    )
+    from deed_ocr_ray.pipelines.multimodal import q_image_features, synth_png
+
+    df = q_image_features(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(df) == 500
+    assert (df["width"] == 24).all() and (df["height"] == 16).all()
+    # spot-check one row against a local decode of the same payload
+    row = df.iloc[17]
+    want = image_features(resize_nearest(decode_png(synth_png(int(row["doc_id"]))), 32, 32))
+    for k in ("mean_r", "mean_g", "mean_b", "std", "entropy"):
+        assert row[k] == want[k]
 
 
 def test_events_hourly_window_count(ray_session):
