@@ -99,12 +99,19 @@ def segment_html(doc: str) -> List[Block]:
     """
     # Strip comments / declarations / processing instructions; an
     # unterminated comment swallows the rest of the document (tolerance).
-    doc = COMMENT_RE.sub(" ", doc)
-    cut = doc.find("<!--")
-    if cut != -1:
-        doc = doc[:cut]
-    doc = DECL_RE.sub(" ", doc)
-    doc = PI_RE.sub(" ", doc)
+    # Each pass is gated by a memchr-speed substring check — sub() with
+    # zero matches returns the input unchanged, so the gates are
+    # byte-neutral and skip three full-document regex scans when the
+    # construct is absent.
+    if "<!--" in doc:
+        doc = COMMENT_RE.sub(" ", doc)
+        cut = doc.find("<!--")
+        if cut != -1:
+            doc = doc[:cut]
+    if "<!" in doc:
+        doc = DECL_RE.sub(" ", doc)
+    if "<?" in doc:
+        doc = PI_RE.sub(" ", doc)
 
     blocks: List[Block] = []
     cur = Block()
@@ -113,7 +120,7 @@ def segment_html(doc: str) -> List[Block]:
     heading_depth = 0
     link_depth = 0
     pos = 0
-    lower = doc.lower()
+    lower = None  # lazily lowered on the first raw-text element
     n = len(doc)
 
     def flush() -> None:
@@ -145,11 +152,14 @@ def segment_html(doc: str) -> List[Block]:
         if m.start() > pos:
             add_text(doc[pos:m.start()])
         closing, name, self_close = m.group(1, 2, 4)
-        name = name.lower()
+        if not name.islower():  # tag names are usually lowercase already
+            name = name.lower()
         pos = m.end()
 
         if not closing and name in RAW_TEXT:
             # skip raw text content to the matching close tag (or EOF)
+            if lower is None:
+                lower = doc.lower()
             end = lower.find("</" + name, pos)
             if end == -1:
                 break
