@@ -87,7 +87,12 @@ def extract_field_spans(
     header_starts: List[int] = []
     header_done = False
     for kind, pat, gate in FIELD_PATTERNS:
-        if any(g not in tl for g in gate):
+        gate_ok = True
+        for g in gate:  # explicit loop: no genexpr frame per pattern
+            if g not in tl:
+                gate_ok = False
+                break
+        if not gate_ok:
             continue
         if not header_done:  # lazily: only needed when something matches
             if _HEADER_GATE in tl:

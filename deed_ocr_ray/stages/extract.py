@@ -43,6 +43,8 @@ from ..schema import EXTRACTED_SCHEMA, FIELDS_TYPE, SPAN_TYPE
 from .html_extract import extract_blocks
 from .pdf_extract import assemble_pages, parse_pdf_pages
 
+_ALL_KEYWORD_GATES = RESERVE_GATE + OIL_MINERAL_GATE
+
 _EMPTY_FIELDS: Dict[str, Any] = {
     "title": "",
     "legal_description_block": [],
@@ -212,11 +214,11 @@ def _build_fields(
         tl = body.lower()
     # substring gates first (memchr-speed over the shared lowercase
     # body); the sentence split is computed at most once and shared
-    parts = (
-        _SENTENCE_SPLIT.split(body)
-        if any(g in tl for g in RESERVE_GATE + OIL_MINERAL_GATE)
-        else None
-    )
+    parts = None
+    for g in _ALL_KEYWORD_GATES:
+        if g in tl:
+            parts = _SENTENCE_SPLIT.split(body)
+            break
     return {
         "title": title,
         "legal_description_block": [t for t, _ in legal],

@@ -167,8 +167,8 @@ def segment_html(doc: str) -> List[Block]:
             pos = n if gt == -1 else gt + 1
             continue
 
-        if name in BLOCK_BOUNDARY:
-            flush()
+        if name in BLOCK_BOUNDARY and cur.parts:
+            flush()  # call-site parts check skips ~half the calls
 
         if name in VOID or self_close:
             continue
