@@ -111,8 +111,9 @@ def main() -> None:
         return
 
     _init_ray(NUM_CPUS)
-    repeats = 3 if "--headline-only" in sys.argv else 2
-    headline = run_headline(NUM_CPUS, repeats=repeats)
+    # best-of-3 everywhere: the host's intermittent CPU steal (2-27%)
+    # depresses single runs by up to ~30%
+    headline = run_headline(NUM_CPUS, repeats=3)
 
     result = {
         "metric": "bench_total",
