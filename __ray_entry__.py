@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_stats": relational.q_lang_source_stats,
         "region_part_revenue": relational.q_region_part_revenue,
         "daily_active_users": relational.q_daily_active_users,
+        "top_parts_per_nation": relational.q_top_parts_per_nation,
         # window / join operators (SQL oracles)
         "running_total": windows.q_running_total,
         "order_rank": windows.q_order_rank,
@@ -155,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_last_event": windows.q_asof_last_event,
         "price_quantiles": windows.q_price_quantiles,
         "sessionize": windows.q_sessionize,
+        "moving_avg_dau": windows.q_moving_avg_dau,
+        "price_quantile_sketch": windows.q_price_quantile_sketch,
         # text analysis (SQL oracles where exact)
         "doc_normalize": textops.q_doc_normalize,
         "token_count": textops.q_token_count,
@@ -163,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": textops.q_fingerprint,
         "fingerprint_rolling": textops.q_fingerprint_rolling,
         "top_terms": textops.q_top_terms,
+        "posting_pairs": textops.q_posting_pairs,
         "doc_sample": textops.q_doc_sample,
         "lang_id": textops.q_lang_id,
         "line_repetition": textops.q_line_repetition,
@@ -213,6 +217,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_stats": relational.Q_LANG_SOURCE_SQL,
         "region_part_revenue": relational.Q_REGION_PART_SQL,
         "daily_active_users": relational.Q_DAU_SQL,
+        "top_parts_per_nation": relational.Q_TOP_PARTS_PER_NATION_SQL,
+        "moving_avg_dau": windows.Q_MOVING_AVG_DAU_SQL,
+        "posting_pairs": textops.Q_POSTING_PAIRS_SQL,
         "doc_normalize": textops.Q_NORMALIZE_SQL,
         "token_count": textops.Q_TOKEN_COUNT_SQL,
         "token_count_bpe": textops.Q_TOKEN_COUNT_BPE_SQL,

@@ -500,3 +500,84 @@ SELECT strftime(ts, '%Y-%m-%d') AS day,
        COUNT(*) AS n_events
 FROM events GROUP BY 1
 """
+
+
+def q_top_parts_per_nation(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Grouped top-k: each supplier nation's top-``k`` parts by revenue.
+    Broadcast nation lookup + pre-aggregated (n_name, partkey) partials
+    shrink the shuffle; the per-nation top-k runs per key (25 nations —
+    per-key ``map_groups`` is fine at that cardinality; coarse-partition
+    for high-cardinality keys). Deterministic tie-break (revenue desc,
+    partkey asc). Columns: n_name, l_partkey, revenue_cents, rk."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nname = dict(zip(nation.column("n_nationkey").to_pylist(),
+                     nation.column("n_name").to_pylist()))
+    nation_of_supp = {sk: nname.get(nk, "UNKNOWN")
+                      for sk, nk in zip(supp.column("s_suppkey").to_pylist(),
+                                        supp.column("s_nationkey").to_pylist())}
+
+    import ray as _ray
+
+    dim_ref = _ray.put(nation_of_supp)  # broadcast once
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    class Partial:
+        def __init__(self) -> None:
+            self.nation_of_supp = _ray.get(dim_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rev = pc.cast(pc.floor(pc.add(pc.multiply(
+                pc.multiply(t["l_extendedprice"],
+                            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                100.0), 0.5)), pa.int64())
+            nn = [self.nation_of_supp.get(s, "UNKNOWN")
+                  for s in t["l_suppkey"].to_pylist()]
+            t2 = pa.table({
+                "n_name": pa.array(nn, type=pa.string()),
+                "l_partkey": t["l_partkey"],
+                "rev": rev,
+            })
+            return t2.group_by(["n_name", "l_partkey"]).aggregate([("rev", "sum")])
+
+    partials = ds.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 8))
+    totals = partials.groupby(["n_name", "l_partkey"]).aggregate(
+        Sum("rev_sum", alias_name="revenue_cents")
+    )
+
+    def topk(g: "pd.DataFrame") -> pa.Table:
+        g = g.sort_values(["revenue_cents", "l_partkey"],
+                          ascending=[False, True]).head(k)
+        return pa.table({
+            "n_name": pa.array(g["n_name"], type=pa.string()),
+            "l_partkey": pa.array(g["l_partkey"], type=pa.int64()),
+            "revenue_cents": pa.array(g["revenue_cents"], type=pa.int64()),
+            "rk": pa.array(range(1, len(g) + 1), type=pa.int64()),
+        })
+
+    return totals.groupby("n_name").map_groups(topk, batch_format="pandas")
+
+
+Q_TOP_PARTS_PER_NATION_SQL = """
+SELECT n_name, l_partkey, revenue_cents, rk FROM (
+  SELECT n_name, l_partkey, revenue_cents,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY revenue_cents DESC, l_partkey ASC) AS rk
+  FROM (
+    SELECT n_name, l_partkey,
+           CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY 1, 2
+  )
+) WHERE rk <= 3
+"""

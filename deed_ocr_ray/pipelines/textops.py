@@ -435,3 +435,46 @@ WHERE words BETWEEN {FILTER_MIN_WORDS} AND {FILTER_MAX_WORDS}
   AND (nonspace * 1000) // words
       BETWEEN {FILTER_MIN_MEAN_WORD_MILLI} AND {FILTER_MAX_MEAN_WORD_MILLI}
 """
+
+
+def q_posting_pairs(sf_dir: str, min_len: int = 7) -> "ray.data.Dataset":
+    """Inverted-index posting pairs: distinct (term, doc_id) for long
+    terms (length >= ``min_len`` bounds the vocabulary). Per-batch
+    distinct shrinks the exchange to unique pairs per block before the
+    global distinct groupby — the index-build shuffle shape (at scale,
+    write the groupby output partitioned by term hash for serving).
+    Columns: term, doc_id."""
+    from ray.data.aggregate import Count
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        terms: list = []
+        ids: list = []
+        seen = set()
+        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for w in x.split():
+                if len(w) >= min_len and (w, did) not in seen:
+                    seen.add((w, did))
+                    terms.append(w)
+                    ids.append(did)
+        return pa.table({
+            "term": pa.array(terms, type=pa.string()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+        })
+
+    uniq = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["term", "doc_id"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return uniq.drop_columns(["n"])
+
+
+Q_POSTING_PAIRS_SQL = r"""
+SELECT DISTINCT term, doc_id FROM (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term, doc_id
+  FROM documents WHERE trim(text) <> ''
+) WHERE length(term) >= 7
+"""

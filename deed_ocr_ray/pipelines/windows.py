@@ -387,3 +387,107 @@ SELECT user_id, CAST(sid AS BIGINT) AS session_id,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM sess GROUP BY user_id, sid
 """
+
+
+def q_moving_avg_dau(sf_dir: str, window: int = 7) -> "ray.data.Dataset":
+    """Sliding-window aggregate over an aggregate: 7-day moving average
+    of daily active users. The base DAU is tiny by construction (one
+    row per day), so the window pass runs in one ordered block after
+    the distributed aggregation — the standard aggregate-then-window
+    shape. Window sums are integers (exact in doubles), so the average
+    is bit-identical to the SQL frame ``ROWS BETWEEN 6 PRECEDING AND
+    CURRENT ROW``. Columns: day, dau, dau_ma7."""
+    from .relational import q_daily_active_users
+
+    dau = q_daily_active_users(sf_dir)
+
+    def ma(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(t, sort_keys=[("day", "ascending")])
+        t = t.take(idx)
+        v = t["dau"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = np.empty(len(v), dtype=np.float64)
+        for i in range(len(v)):
+            w = v[max(0, i - window + 1) : i + 1]
+            out[i] = float(w.sum()) / len(w)  # integer sum: exact
+        return pa.table({
+            "day": t["day"],
+            "dau": t["dau"],
+            "dau_ma7": pa.array(out, type=pa.float64()),
+        })
+
+    # one block = the whole (small) aggregate; batch_size=None keeps it
+    return dau.repartition(1).map_batches(ma, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+Q_MOVING_AVG_DAU_SQL = """
+SELECT day, dau,
+       AVG(dau) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS dau_ma7
+FROM (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+)
+"""
+
+
+# --------------------------------------------- mergeable quantile histogram
+
+HIST_BINS = 4096
+HIST_LO, HIST_HI = 1.0, 1e9  # log-spaced bin edges (positive prices)
+
+
+def _hist_edges() -> np.ndarray:
+    return np.logspace(np.log10(HIST_LO), np.log10(HIST_HI), HIST_BINS + 1)
+
+
+def hist_quantile(counts: np.ndarray, q: float) -> float:
+    """Approximate quantile from merged bin counts: the upper edge of
+    the bin containing the q-th value (relative error bounded by the
+    log-bin width, ~0.51% with 4096 bins over 9 decades)."""
+    edges = _hist_edges()
+    total = counts.sum()
+    if total == 0:
+        return 0.0
+    target = max(1, int(np.ceil(q * total)))
+    cum = np.cumsum(counts)
+    b = int(np.searchsorted(cum, target))
+    return float(edges[min(b + 1, HIST_BINS)])
+
+
+def q_price_quantile_sketch(sf_dir: str) -> "ray.data.Dataset":
+    """Approximate p50/p90/p99 of l_extendedprice via a MERGEABLE
+    log-histogram sketch: each batch emits its 4096-bin count vector
+    (32 KiB), partials sum in a reduce task (``repartition(1)`` — tree
+    it at cluster scale), and quantiles read off the merged histogram.
+    The estimate-vs-exact audit lives in the test suite
+    (``tests/test_ops.py``), mirroring the HLL pattern. Columns:
+    n_rows, p50, p90, p99, rel_err_bound_pct. (No SQL oracle: sketch.)"""
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    edges = _hist_edges()
+
+    def sketch(t: pa.Table) -> pa.Table:
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        counts, _ = np.histogram(np.clip(v, HIST_LO, HIST_HI), bins=edges)
+        return pa.table({
+            "counts": pa.array([counts.astype(np.int64).tobytes()], type=pa.binary()),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        total = np.zeros(HIST_BINS, dtype=np.int64)
+        for blob in t["counts"].to_pylist():
+            total += np.frombuffer(blob, dtype=np.int64)
+        rel = (10 ** (9 / HIST_BINS) - 1) * 100  # one log-bin width
+        return pa.table({
+            "n_rows": pa.array([int(total.sum())], type=pa.int64()),
+            "p50": pa.array([hist_quantile(total, 0.5)], type=pa.float64()),
+            "p90": pa.array([hist_quantile(total, 0.9)], type=pa.float64()),
+            "p99": pa.array([hist_quantile(total, 0.99)], type=pa.float64()),
+            "rel_err_bound_pct": pa.array([round(rel, 3)], type=pa.float64()),
+        })
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow")
+    return parts.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                            batch_size=None)

@@ -290,6 +290,27 @@ def test_hll_estimate_accuracy(ray_session):
     assert 0 < row["nonzero_registers"] <= row["n_registers"]
 
 
+def test_price_quantile_sketch_accuracy(ray_session):
+    """Histogram-sketch quantiles vs exact (the audit lives here, not in
+    the operator — HLL pattern)."""
+    import duckdb
+
+    from deed_ocr_ray.pipelines.windows import q_price_quantile_sketch
+
+    row = q_price_quantile_sketch(SF).to_pandas().iloc[0]
+    for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        exact = duckdb.sql(
+            f"SELECT quantile_disc(l_extendedprice, {q}) FROM "
+            f"read_parquet('{SF}/lineitem.parquet')"
+        ).fetchone()[0]
+        rel = abs(row[col] - exact) / exact * 100
+        assert rel <= row["rel_err_bound_pct"] + 1e-9, (col, row[col], exact, rel)
+    exact_n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/lineitem.parquet')"
+    ).fetchone()[0]
+    assert row["n_rows"] == exact_n
+
+
 def test_minhash_estimates_track_exact_jaccard(ray_session):
     from deed_ocr_ray.pipelines.dedup import q_minhash_validate
 
