@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_rolling": textops.q_fingerprint_rolling,
         "top_terms": textops.q_top_terms,
         "posting_pairs": textops.q_posting_pairs,
+        "bigram_counts": textops.q_bigram_counts,
         "doc_sample": textops.q_doc_sample,
         "lang_id": textops.q_lang_id,
         "line_repetition": textops.q_line_repetition,
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "top_parts_per_nation": relational.Q_TOP_PARTS_PER_NATION_SQL,
         "moving_avg_dau": windows.Q_MOVING_AVG_DAU_SQL,
         "posting_pairs": textops.Q_POSTING_PAIRS_SQL,
+        "bigram_counts": textops.Q_BIGRAM_COUNTS_SQL,
         "doc_normalize": textops.Q_NORMALIZE_SQL,
         "token_count": textops.Q_TOKEN_COUNT_SQL,
         "token_count_bpe": textops.Q_TOKEN_COUNT_BPE_SQL,

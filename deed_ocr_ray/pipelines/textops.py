@@ -478,3 +478,50 @@ SELECT DISTINCT term, doc_id FROM (
   FROM documents WHERE trim(text) <> ''
 ) WHERE length(term) >= 7
 """
+
+
+def q_bigram_counts(sf_dir: str, k: int = 50) -> "ray.data.Dataset":
+    """Top-``k`` word bigrams by count — the n-gram LM count table (the
+    training-data analogue of wordcount one order up). Per-batch
+    Counter combiner shrinks the shuffle to distinct bigrams per block;
+    deterministic tie-break (cnt desc, bigram asc).
+    Columns: bigram, cnt."""
+    import collections
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for x in t["text"].to_pylist():
+            toks = x.split()
+            for i in range(len(toks) - 1):
+                c[toks[i] + " " + toks[i + 1]] += 1
+        return pa.table({
+            "bigram": pa.array(list(c.keys()), type=pa.string()),
+            "cnt": pa.array(list(c.values()), type=pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return agg.sort(["cnt", "bigram"], descending=[True, False]).limit(k)
+
+
+Q_BIGRAM_COUNTS_SQL = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS a
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+  SELECT unnest([a[i] || ' ' || a[i+1] for i in generate_series(1, len(a)-1)])
+      AS bigram
+  FROM toks WHERE len(a) >= 2
+)
+GROUP BY 1
+ORDER BY cnt DESC, bigram ASC
+LIMIT 50
+"""
