@@ -49,6 +49,20 @@ from ..state.manifest import (
 )
 
 
+def pool_config(ncpu: int) -> "tuple[int, float]":
+    """(actor_count, num_cpus_per_actor) for the extraction pool: one
+    actor per CPU with a fractional reservation that always leaves at
+    least one WHOLE CPU free — a 1-CPU streaming read task must be able
+    to schedule while the full pool is resident, or the executor
+    deadlocks. See extract_dataset for the measurements."""
+    import math
+
+    k = max(2, ncpu)
+    spare = max(1.0, ncpu / 5.0)
+    # floor at 3 decimals: rounding UP would nibble into the spare CPU
+    return k, max(0.25, math.floor((ncpu - spare) / k * 1000) / 1000)
+
+
 def extract_dataset(
     ds: "ray.data.Dataset",
     path_to_part: Optional[Dict[str, int]] = None,
@@ -78,9 +92,7 @@ def extract_dataset(
     num_cpus_per_actor = 1.0
     if concurrency is None:
         ncpu = int(ray.available_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        k = max(2, ncpu)
-        spare = max(1.0, ncpu / 5.0)
-        num_cpus_per_actor = round(max(0.5, (ncpu - spare) / k), 3)
+        k, num_cpus_per_actor = pool_config(ncpu)
         concurrency = (k, k)
     return ds.map_batches(
         Extractor,

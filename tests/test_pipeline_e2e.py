@@ -179,3 +179,35 @@ def test_iter_extracted_streams_batches(ray_session, corpus_dir, tmp_path):
         n_batches += 1
     assert total == SF_TEST["n_rows"]
     assert n_batches >= total // 64
+
+
+def test_pool_config_always_leaves_a_whole_spare_cpu():
+    """Deadlock guard: at every cluster size, total actor reservation
+    leaves >= 1 whole CPU so a 1-CPU read task can schedule."""
+    from deed_ocr_ray.pipelines.extract_pipeline import pool_config
+
+    for ncpu in (1, 2, 3, 4, 5, 8, 16, 32, 64, 128, 256):
+        k, c = pool_config(ncpu)
+        assert k >= 2 and 0.25 <= c <= 1.0
+        assert ncpu - k * c >= 1.0 - 1e-9 or ncpu <= 2, (ncpu, k, c)
+
+
+def test_failed_wave_restores_data_context(ray_session, corpus_dir, tmp_path,
+                                           monkeypatch):
+    """A write failure mid-wave must not leak the global
+    target_max_block_size override (try/finally contract)."""
+    import ray.data as rd
+
+    from deed_ocr_ray.pipelines import extract_pipeline as ep
+
+    prev = rd.DataContext.get_current().target_max_block_size
+
+    def boom(self, *a, **k):
+        raise RuntimeError("disk gone")
+
+    monkeypatch.setattr(rd.Dataset, "write_parquet", boom)
+    with pytest.raises(RuntimeError):
+        ep.run_extract(corpus_dir, str(tmp_path / "out"), files_per_part=2,
+                       wave_parts=2, concurrency=2,
+                       target_block_bytes=123 * 1024)
+    assert rd.DataContext.get_current().target_max_block_size == prev
