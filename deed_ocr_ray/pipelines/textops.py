@@ -525,3 +525,63 @@ GROUP BY 1
 ORDER BY cnt DESC, bigram ASC
 LIMIT 50
 """
+
+
+def q_url_canon(sf_dir: str) -> "ray.data.Dataset":
+    """URL canonicalization over deterministic messy URLs synthesized
+    from the documents table (the sf tables carry no url column; the
+    SAME synthesis runs in the oracle, so the canonicalizer itself is
+    what the hash verifies). One vectorized map — no shuffle; at corpus
+    scale this is the key-maker stage in front of url dedup.
+    Columns: doc_id, url, canon_url."""
+    from ..functions.urlnorm import canonicalize_url
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "lang"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        urls = []
+        for did, src, lang in zip(t["doc_id"].to_pylist(),
+                                  t["source"].to_pylist(),
+                                  t["lang"].to_pylist()):
+            u = f"HTTPS://WWW.{src}.Example.COM:443/Docs/{did}"
+            u += f"/?utm_source=feed&ref={lang}" if did % 3 == 0 else "/"
+            if did % 5 == 0:
+                u += "#section-2"
+            urls.append(u)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "url": pa.array(urls, type=pa.string()),
+            "canon_url": pa.array([canonicalize_url(u) for u in urls],
+                                  type=pa.string()),
+        })
+
+    return ds.map_batches(canon, batch_format="pyarrow")
+
+
+Q_URL_CANON_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+    'HTTPS://WWW.' || source || '.Example.COM:443/Docs/' || CAST(doc_id AS VARCHAR) ||
+    CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=feed&ref=' || lang ELSE '/' END ||
+    CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END AS url
+  FROM documents
+),
+s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM raw),
+s2 AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(u, '(?i)^(https?://)([^/?#]*)(.*)$', 1)) AS sch,
+    regexp_replace(lower(regexp_extract(u, '(?i)^(https?://)([^/?#]*)(.*)$', 2)),
+                   ':(80|443)$', '') AS host,
+    regexp_extract(u, '(?i)^(https?://)([^/?#]*)(.*)$', 3) AS tail
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, url, sch, host,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(tail, '[?&]utm_[a-z_]+=[^&#]*', '', 'g'),
+        '\?&', '?'), '^([^?&]*)&', '\1?'), '\?$', ''), '(.)/$', '\1') AS tail
+  FROM s2
+)
+SELECT doc_id, url, sch || host || tail AS canon_url FROM s3
+"""

@@ -50,3 +50,18 @@ def test_normalize_inline_is_single_line():
 def test_dedup_preserve_order():
     # first-occurrence-wins, falsy skipped (workflow.py:600-616)
     assert dedup_preserve_order(["b", "a", "", "b", None, "c", "a"]) == ["b", "a", "c"]
+
+
+def test_canonicalize_url_contract():
+    from deed_ocr_ray.functions.urlnorm import canonicalize_url as c
+
+    assert c("HTTPS://WWW.Ex.COM:443/Docs/1/?utm_source=a&ref=x#frag") == \
+        "https://www.ex.com/Docs/1/?ref=x"
+    assert c("http://A.B:80/p/") == "http://a.b/p"
+    assert c("http://a.b/") == "http://a.b/"  # lone root slash is kept
+    assert c("http://a.b/p/") == "http://a.b/p"  # trailing path slash stripped
+    assert c("http://a.b/p?utm_c=1") == "http://a.b/p"
+    assert c("http://a.b/p?utm_c=1&utm_d=2&k=v") == "http://a.b/p?k=v"
+    assert c("http://a.b:8080/p") == "http://a.b:8080/p"  # non-default port kept
+    assert c("ftp://x/y#z") == "ftp://x/y"           # non-http: fragment only
+    assert c("not a url") == "not a url"
