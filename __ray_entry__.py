@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "posting_pairs": textops.q_posting_pairs,
         "bigram_counts": textops.q_bigram_counts,
         "url_canon": textops.q_url_canon,
+        "canon_dedup": textops.q_canon_dedup,
         "doc_sample": textops.q_doc_sample,
         "lang_id": textops.q_lang_id,
         "line_repetition": textops.q_line_repetition,
@@ -224,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "posting_pairs": textops.Q_POSTING_PAIRS_SQL,
         "bigram_counts": textops.Q_BIGRAM_COUNTS_SQL,
         "url_canon": textops.Q_URL_CANON_SQL,
+        "canon_dedup": textops.Q_CANON_DEDUP_SQL,
         "doc_normalize": textops.Q_NORMALIZE_SQL,
         "token_count": textops.Q_TOKEN_COUNT_SQL,
         "token_count_bpe": textops.Q_TOKEN_COUNT_BPE_SQL,

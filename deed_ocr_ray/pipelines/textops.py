@@ -585,3 +585,79 @@ s3 AS (
 )
 SELECT doc_id, url, sch || host || tail AS canon_url FROM s3
 """
+
+
+def q_canon_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """Canonical-URL dedup: docs carrying VARIANT urls of the same page
+    (default-port, utm params, fragment, trailing slash — one variant
+    per doc_id % 4) collapse onto one canonical url; first doc wins
+    (min doc_id, the D1 order). The duplicates exist only AFTER
+    canonicalization — the composition this operator demonstrates.
+    Only (canon_url, doc_id) crosses the shuffle.
+    Columns: canon_url, rep_doc_id, n_dupes."""
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.urlnorm import canonicalize_url
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "lang"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        out = []
+        for did, src, lang in zip(t["doc_id"].to_pylist(),
+                                  t["source"].to_pylist(),
+                                  t["lang"].to_pylist()):
+            base = f"HTTPS://WWW.{src}.Example.COM"
+            v = did % 4
+            if v == 0:
+                u = f"{base}:443/{lang}"
+            elif v == 1:
+                u = f"{base}/{lang}?utm_campaign=x"
+            elif v == 2:
+                u = f"{base}/{lang}#frag"
+            else:
+                u = f"{base}/{lang}/"
+            out.append(canonicalize_url(u))
+        return pa.table({
+            "canon_url": pa.array(out, type=pa.string()),
+            "doc_id": t["doc_id"],
+        })
+
+    pairs = ds.map_batches(canon, batch_format="pyarrow")
+    return pairs.groupby("canon_url").aggregate(
+        Min("doc_id", alias_name="rep_doc_id"), Count(alias_name="n_dupes")
+    )
+
+
+Q_CANON_DEDUP_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+    'HTTPS://WWW.' || source || '.Example.COM' ||
+    CASE doc_id % 4
+      WHEN 0 THEN ':443/' || lang
+      WHEN 1 THEN '/' || lang || '?utm_campaign=x'
+      WHEN 2 THEN '/' || lang || '#frag'
+      ELSE '/' || lang || '/'
+    END AS url
+  FROM documents
+),
+s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+s2 AS (
+  SELECT doc_id,
+    lower(regexp_extract(u, '(?i)^(https?://)([^/?#]*)(.*)$', 1)) AS sch,
+    regexp_replace(lower(regexp_extract(u, '(?i)^(https?://)([^/?#]*)(.*)$', 2)),
+                   ':(80|443)$', '') AS host,
+    regexp_extract(u, '(?i)^(https?://)([^/?#]*)(.*)$', 3) AS tail
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, sch, host,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(tail, '[?&]utm_[a-z_]+=[^&#]*', '', 'g'),
+        '\?&', '?'), '^([^?&]*)&', '\1?'), '\?$', ''), '(.)/$', '\1') AS tail
+  FROM s2
+)
+SELECT sch || host || tail AS canon_url,
+       MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_dupes
+FROM s3 GROUP BY 1
+"""
