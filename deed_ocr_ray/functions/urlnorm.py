@@ -19,7 +19,7 @@ _DEFAULT_PORT = re.compile(r":(80|443)$")
 _UTM = re.compile(r"[?&]utm_[a-z_]+=[^&#]*")
 _DANGLING_AMP = re.compile(r"^([^?&]*)&")
 _Q_AMP = re.compile(r"\?&")
-_TRAIL_Q = re.compile(r"\?$")
+_TRAIL_Q = re.compile(r"\?+$")
 _TRAIL_SLASH = re.compile(r"(.)/$")
 
 

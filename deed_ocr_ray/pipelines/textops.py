@@ -580,7 +580,7 @@ s3 AS (
   SELECT doc_id, url, sch, host,
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         regexp_replace(tail, '[?&]utm_[a-z_]+=[^&#]*', '', 'g'),
-        '\?&', '?'), '^([^?&]*)&', '\1?'), '\?$', ''), '(.)/$', '\1') AS tail
+        '\?&', '?'), '^([^?&]*)&', '\1?'), '\?+$', ''), '(.)/$', '\1') AS tail
   FROM s2
 )
 SELECT doc_id, url, sch || host || tail AS canon_url FROM s3
@@ -654,7 +654,7 @@ s3 AS (
   SELECT doc_id, sch, host,
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         regexp_replace(tail, '[?&]utm_[a-z_]+=[^&#]*', '', 'g'),
-        '\?&', '?'), '^([^?&]*)&', '\1?'), '\?$', ''), '(.)/$', '\1') AS tail
+        '\?&', '?'), '^([^?&]*)&', '\1?'), '\?+$', ''), '(.)/$', '\1') AS tail
   FROM s2
 )
 SELECT sch || host || tail AS canon_url,

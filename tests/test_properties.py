@@ -117,3 +117,51 @@ def test_simhash_band_blocking_guarantees_recall(h, flips):
     bands_h = [(h >> (16 * i)) & 0xFFFF for i in range(4)]
     bands_g = [(g >> (16 * i)) & 0xFFFF for i in range(4)]
     assert any(x == y for x, y in zip(bands_h, bands_g))
+
+
+# ------------------------------------------------- URL canonicalization
+
+_urlish = st.one_of(
+    st.text(alphabet=string.ascii_letters + string.digits + ":/?&#=._-%",
+            max_size=120),
+    st.tuples(
+        st.sampled_from(["http://", "https://", "HTTP://", "HTTPS://", ""]),
+        st.text(alphabet=string.ascii_letters + string.digits + ".-", max_size=20),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.text(alphabet=string.ascii_letters + "/?&#=_", max_size=40),
+    ).map(lambda t: "".join(t)),
+)
+
+
+@given(_urlish)
+@settings(max_examples=300, deadline=None)
+def test_canonicalize_url_total_and_idempotent(u):
+    """canonicalize_url is a total function and a projection: applying
+    it twice equals applying it once (the dedup-key contract)."""
+    from deed_ocr_ray.functions.urlnorm import canonicalize_url
+
+    c = canonicalize_url(u)
+    assert isinstance(c, str)
+    assert canonicalize_url(c) == c
+    assert "#" not in c or not c.lower().startswith("http")
+
+
+# ------------------------------------------------------- image codecs
+
+@given(
+    st.integers(1, 12), st.integers(1, 12),
+    st.sampled_from([1, 3, 4]), st.integers(0, 4), st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_png_roundtrip_property(h, w, ch, ftype, seed):
+    """Any uint8 image survives encode->decode bit-exactly through every
+    scanline filter."""
+    import numpy as np
+
+    from deed_ocr_ray.functions.imagecodec import decode_png, encode_png
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8)
+    if ch == 1:
+        img = img[:, :, 0]
+    assert np.array_equal(decode_png(encode_png(img, filter_type=ftype)), img)
