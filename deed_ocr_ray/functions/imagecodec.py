@@ -116,7 +116,11 @@ def decode_png(data: bytes) -> np.ndarray:
             f"unsupported PNG variant (depth={depth}, color={color}, interlace={interlace})"
         )
     ch = _COLOR_CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # keep the documented error contract: malformed input ⇒ ValueError
+        raise ValueError(f"bad PNG IDAT: {e}") from e
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")

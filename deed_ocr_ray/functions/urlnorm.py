@@ -15,7 +15,11 @@ import re
 
 _SPLIT = re.compile(r"(?i)^(https?://)([^/?#]*)(.*)$")
 _FRAGMENT = re.compile(r"#.*$")
-_DEFAULT_PORT = re.compile(r":(80|443)$")
+# Default-port strip is scheme-conditional: ':80' is only the default
+# for http, ':443' only for https — http://host:443 is a distinct
+# origin and must NOT collapse onto http://host.
+_PORT_HTTP = re.compile(r":80$")
+_PORT_HTTPS = re.compile(r":443$")
 _UTM = re.compile(r"[?&]utm_[a-z_]+=[^&#]*")
 _DANGLING_AMP = re.compile(r"^([^?&]*)&")
 _Q_AMP = re.compile(r"\?&")
@@ -31,7 +35,8 @@ def canonicalize_url(url: str) -> str:
     if not m:
         return u
     scheme = m.group(1).lower()
-    host = _DEFAULT_PORT.sub("", m.group(2).lower())
+    port_re = _PORT_HTTP if scheme == "http://" else _PORT_HTTPS
+    host = port_re.sub("", m.group(2).lower())
     tail = m.group(3)
     tail = _UTM.sub("", tail)
     tail = _Q_AMP.sub("?", tail, count=1)

@@ -103,15 +103,23 @@ class MediaDecoder:
 
     def _meta(self, payload: bytes) -> dict:
         kind = sniff_media(payload)
-        if kind == "png":
-            w, h, _ = png_info(payload)
-        elif kind == "ppm":
-            arr = decode_ppm(payload)
-            h, w = arr.shape[:2]
-        elif self.require_real_codecs:
-            decode_image(payload)  # raises NotImplementedError
-            raise AssertionError("unreachable")
-        else:
+        try:
+            if kind == "png":
+                w, h, _ = png_info(payload)
+            elif kind == "ppm":
+                arr = decode_ppm(payload)
+                h, w = arr.shape[:2]
+            elif self.require_real_codecs:
+                decode_image(payload)  # raises NotImplementedError
+                raise AssertionError("unreachable")
+            else:
+                return _fake_decode(payload)
+        except (ValueError, NotImplementedError):
+            # Lenient mode stays TOTAL: bytes that merely sniff as
+            # PNG/PPM but are malformed fall back to the deterministic
+            # fake instead of failing the whole map task.
+            if self.require_real_codecs:
+                raise
             return _fake_decode(payload)
         return {
             "format": kind,

@@ -565,7 +565,10 @@ def q_top_parts_per_nation(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     return totals.groupby("n_name").map_groups(topk, batch_format="pandas")
 
 
-Q_TOP_PARTS_PER_NATION_SQL = """
+def top_parts_per_nation_sql(k: int = 3) -> str:
+    """Oracle SQL for ``q_top_parts_per_nation`` at the same ``k`` —
+    parameters interpolate here so operator and oracle cannot desync."""
+    return f"""
 SELECT n_name, l_partkey, revenue_cents, rk FROM (
   SELECT n_name, l_partkey, revenue_cents,
          row_number() OVER (PARTITION BY n_name
@@ -579,5 +582,8 @@ SELECT n_name, l_partkey, revenue_cents, rk FROM (
     JOIN nation ON n_nationkey = s_nationkey
     GROUP BY 1, 2
   )
-) WHERE rk <= 3
+) WHERE rk <= {int(k)}
 """
+
+
+Q_TOP_PARTS_PER_NATION_SQL = top_parts_per_nation_sql()

@@ -472,12 +472,18 @@ def q_posting_pairs(sf_dir: str, min_len: int = 7) -> "ray.data.Dataset":
     return uniq.drop_columns(["n"])
 
 
-Q_POSTING_PAIRS_SQL = r"""
+def posting_pairs_sql(min_len: int = 7) -> str:
+    """Oracle SQL for ``q_posting_pairs`` at the same ``min_len`` —
+    parameters interpolate here so operator and oracle cannot desync."""
+    return rf"""
 SELECT DISTINCT term, doc_id FROM (
   SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term, doc_id
   FROM documents WHERE trim(text) <> ''
-) WHERE length(term) >= 7
+) WHERE length(term) >= {int(min_len)}
 """
+
+
+Q_POSTING_PAIRS_SQL = posting_pairs_sql()
 
 
 def q_bigram_counts(sf_dir: str, k: int = 50) -> "ray.data.Dataset":
@@ -511,7 +517,9 @@ def q_bigram_counts(sf_dir: str, k: int = 50) -> "ray.data.Dataset":
     return agg.sort(["cnt", "bigram"], descending=[True, False]).limit(k)
 
 
-Q_BIGRAM_COUNTS_SQL = r"""
+def bigram_counts_sql(k: int = 50) -> str:
+    """Oracle SQL for ``q_bigram_counts`` at the same ``k``."""
+    return rf"""
 WITH toks AS (
   SELECT regexp_split_to_array(trim(text), '\s+') AS a
   FROM documents WHERE trim(text) <> ''
@@ -523,8 +531,11 @@ SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
 )
 GROUP BY 1
 ORDER BY cnt DESC, bigram ASC
-LIMIT 50
+LIMIT {int(k)}
 """
+
+
+Q_BIGRAM_COUNTS_SQL = bigram_counts_sql()
 
 
 def q_url_canon(sf_dir: str) -> "ray.data.Dataset":
@@ -571,8 +582,12 @@ s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM raw),
 s2 AS (
   SELECT doc_id, url,
     lower(regexp_extract(u, '(?i)^(https?://)([^/?#]*)(.*)$', 1)) AS sch,
-    regexp_replace(lower(regexp_extract(u, '(?i)^(https?://)([^/?#]*)(.*)$', 2)),
-                   ':(80|443)$', '') AS host,
+    CASE WHEN lower(regexp_extract(u, '(?i)^(https?://)([^/?#]*)(.*)$', 1)) = 'http://'
+         THEN regexp_replace(lower(regexp_extract(u, '(?i)^(https?://)([^/?#]*)(.*)$', 2)),
+                             ':80$', '')
+         ELSE regexp_replace(lower(regexp_extract(u, '(?i)^(https?://)([^/?#]*)(.*)$', 2)),
+                             ':443$', '')
+    END AS host,
     regexp_extract(u, '(?i)^(https?://)([^/?#]*)(.*)$', 3) AS tail
   FROM s1
 ),
@@ -645,8 +660,12 @@ s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
 s2 AS (
   SELECT doc_id,
     lower(regexp_extract(u, '(?i)^(https?://)([^/?#]*)(.*)$', 1)) AS sch,
-    regexp_replace(lower(regexp_extract(u, '(?i)^(https?://)([^/?#]*)(.*)$', 2)),
-                   ':(80|443)$', '') AS host,
+    CASE WHEN lower(regexp_extract(u, '(?i)^(https?://)([^/?#]*)(.*)$', 1)) = 'http://'
+         THEN regexp_replace(lower(regexp_extract(u, '(?i)^(https?://)([^/?#]*)(.*)$', 2)),
+                             ':80$', '')
+         ELSE regexp_replace(lower(regexp_extract(u, '(?i)^(https?://)([^/?#]*)(.*)$', 2)),
+                             ':443$', '')
+    END AS host,
     regexp_extract(u, '(?i)^(https?://)([^/?#]*)(.*)$', 3) AS tail
   FROM s1
 ),

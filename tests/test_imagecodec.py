@@ -61,6 +61,24 @@ def test_png_rejects_garbage_and_unsupported():
         decode_png(bytes(data))
 
 
+def test_png_corrupt_idat_raises_valueerror():
+    """The documented error contract is ValueError on malformed input —
+    a corrupt deflate stream must not leak zlib.error."""
+    import struct
+    import zlib
+
+    img = _img(2, 4, 4, 3)
+    good = encode_png(img)
+    # keep signature + IHDR, then append a garbage IDAT and IEND
+    head = good[:33]
+    payload = b"definitely not deflate"
+    idat = struct.pack(">I", len(payload)) + b"IDAT" + payload + \
+        struct.pack(">I", zlib.crc32(b"IDAT" + payload) & 0xFFFFFFFF)
+    iend = struct.pack(">I", 0) + b"IEND" + struct.pack(">I", zlib.crc32(b"IEND") & 0xFFFFFFFF)
+    with pytest.raises(ValueError):
+        decode_png(head + idat + iend)
+
+
 def test_ppm_roundtrip_and_comments():
     img = _img(9, 6, 4, 3)
     data = encode_ppm(img)

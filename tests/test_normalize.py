@@ -63,5 +63,11 @@ def test_canonicalize_url_contract():
     assert c("http://a.b/p?utm_c=1") == "http://a.b/p"
     assert c("http://a.b/p?utm_c=1&utm_d=2&k=v") == "http://a.b/p?k=v"
     assert c("http://a.b:8080/p") == "http://a.b:8080/p"  # non-default port kept
+    # port stripping is scheme-conditional: http://host:443 and
+    # https://host:80 are DISTINCT origins and must survive
+    assert c("http://a.b:443/p") == "http://a.b:443/p"
+    assert c("https://a.b:80/p") == "https://a.b:80/p"
+    assert c("HTTPS://A.B:443/p") == "https://a.b/p"
+    assert c("HTTP://A.B:80/p") == "http://a.b/p"
     assert c("ftp://x/y#z") == "ftp://x/y"           # non-http: fragment only
     assert c("not a url") == "not a url"

@@ -209,6 +209,28 @@ def test_media_decoder_real_codecs_and_stub_boundary():
     assert fake["format"] in {"jpeg", "webp", "tiff", "mp4"}
 
 
+def test_media_decoder_lenient_mode_is_total_on_malformed_sniffs():
+    """Bytes that merely SNIFF as PNG/PPM but are malformed must fall
+    back to the deterministic fake in lenient mode (no task-killing
+    raise) and still raise in strict mode."""
+    import pyarrow as pa
+
+    from deed_ocr_ray.pipelines.multimodal import MediaDecoder
+
+    # document text that happens to start with the PPM magic, and a
+    # PNG signature with no valid chunks behind it
+    bad_ppm = b"P6 quarterly report: margins up"
+    bad_png = b"\x89PNG\r\n\x1a\n then garbage, no IHDR"
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "payload": pa.array([bad_ppm, bad_png], type=pa.binary()),
+    })
+    metas = MediaDecoder()(batch)["media_meta"].to_pylist()
+    assert len(metas) == 2 and all(m["width"] > 0 for m in metas)
+    with pytest.raises((ValueError, NotImplementedError)):
+        MediaDecoder(require_real_codecs=True)(batch)
+
+
 def test_image_features_real_pixels(ray_session):
     from deed_ocr_ray.functions.imagecodec import (
         decode_png, image_features, resize_nearest,
