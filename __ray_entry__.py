@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": dedup.q_hll_users,
         "minhash_validate": dedup.q_minhash_validate,
         "lsh_overflow": dedup.q_lsh_overflow,
+        "simhash_overflow": dedup.q_simhash_overflow,
         # similarity search
         "knn_cosine": similarity.q_knn_cosine,
         "knn_ivf": similarity.q_knn_ivf,

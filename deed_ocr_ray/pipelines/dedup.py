@@ -333,27 +333,21 @@ def q_minhash_pairs(sf_dir: str, min_est: float = 0.5) -> "ray.data.Dataset":
     )
 
 
-def q_lsh_overflow(sf_dir: str, max_bucket: int = MAX_BUCKET) -> "ray.data.Dataset":
-    """Observability for the LSH quadratic guard: how many buckets were
-    skipped as oversized (> ``max_bucket``), the largest bucket seen,
-    and how many doc slots those buckets held (upper bound on lost
-    collision opportunities). Exactly one output row, zeros when
-    nothing overflowed. Columns: n_overflow_buckets, max_bucket_size,
-    dropped_doc_slots. (No SQL oracle: sketch internals.)"""
-    over = _candidate_pairs(minhash_sigs(sf_dir), max_bucket=max_bucket).filter(
-        expr="doc_a < 0"
-    ).materialize()  # tiny (one row per overflowed bucket size)
+def _overflow_summary(over: "ray.data.Dataset", count_col: str) -> "ray.data.Dataset":
+    """Collapse overflow sentinel rows ``(doc_a=-1, doc_b=size,
+    count_col=count of buckets with that size)`` into the one-row
+    observability summary shared by :func:`q_lsh_overflow` and
+    :func:`q_simhash_overflow`."""
     if over.count() == 0:
         row = {"n_overflow_buckets": 0, "max_bucket_size": 0, "dropped_doc_slots": 0}
     else:
-        # sentinel rows are (doc_a=-1, doc_b=size, n_bands=count of
-        # buckets with that size): tiny aggregate scalars, driver-safe
+        # tiny aggregate scalars, driver-safe
         def partial(t: pa.Table) -> pa.Table:
             return pa.table({
-                "n_buckets": pa.array([pc.sum(t["n_bands"]).as_py() or 0], type=pa.int64()),
+                "n_buckets": pa.array([pc.sum(t[count_col]).as_py() or 0], type=pa.int64()),
                 "max_size": pa.array([pc.max(t["doc_b"]).as_py() or 0], type=pa.int64()),
                 "slots": pa.array(
-                    [pc.sum(pc.multiply(t["doc_b"], t["n_bands"].cast(pa.int64()))).as_py() or 0],
+                    [pc.sum(pc.multiply(t["doc_b"], t[count_col].cast(pa.int64()))).as_py() or 0],
                     type=pa.int64()),
             })
 
@@ -369,6 +363,19 @@ def q_lsh_overflow(sf_dir: str, max_bucket: int = MAX_BUCKET) -> "ray.data.Datas
             "dropped_doc_slots": int(total["sl"]),
         }
     return ray.data.from_items([row])
+
+
+def q_lsh_overflow(sf_dir: str, max_bucket: int = MAX_BUCKET) -> "ray.data.Dataset":
+    """Observability for the LSH quadratic guard: how many buckets were
+    skipped as oversized (> ``max_bucket``), the largest bucket seen,
+    and how many doc slots those buckets held (upper bound on lost
+    collision opportunities). Exactly one output row, zeros when
+    nothing overflowed. Columns: n_overflow_buckets, max_bucket_size,
+    dropped_doc_slots. (No SQL oracle: sketch internals.)"""
+    over = _candidate_pairs(minhash_sigs(sf_dir), max_bucket=max_bucket).filter(
+        expr="doc_a < 0"
+    ).materialize()  # tiny (one row per overflowed bucket size)
+    return _overflow_summary(over, count_col="n_bands")
 
 
 # ------------------------------------------------------------------ simhash
@@ -497,10 +504,17 @@ def _simhash_bands_fn(t: pa.Table) -> pa.Table:
     return _SIMHASH_BANDS(t)
 
 
-def q_simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
-    """SimHash near-dup pairs via 4×16-bit band blocking (any pair with
-    Hamming distance <= 3 shares at least one exact 16-bit band).
-    Columns: doc_a, doc_b, hamming. (No SQL oracle.)"""
+def _simhash_candidates(
+    sf_dir: str, max_hamming: int = 3, max_bucket: int = MAX_BUCKET
+) -> "ray.data.Dataset":
+    """Banded SimHash candidates with the same quadratic guard as
+    ``_bucket_pairs``: band buckets larger than ``max_bucket`` are not
+    scanned (boilerplate / all-empty texts all hash to one signature
+    and would otherwise blow up O(n²) inside a single ``map_groups``
+    call); each skipped bucket emits an OVERFLOW sentinel row
+    ``(doc_a=-1, doc_b=bucket_size, hamming=0)``. The pair-dedup
+    groupby's Count doubles as the per-size overflow-bucket count
+    (``n_buckets``), mirroring ``_candidate_pairs``."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def pairs(g: pd.DataFrame) -> pa.Table:
@@ -509,6 +523,9 @@ def q_simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset
         rows = []
         dup = g.duplicated(["band_id", "band_val"], keep=False)
         for _, sub in g[dup].groupby(["band_id", "band_val"], sort=False):
+            if len(sub) > max_bucket:
+                rows.append((-1, int(len(sub)), 0))
+                continue
             docs = sorted(zip(sub["doc_id"], sub["simhash"]), key=lambda x: x[0])
             for i in range(len(docs)):
                 for j in range(i + 1, len(docs)):
@@ -525,7 +542,35 @@ def q_simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset
 
     exploded = ds.map_batches(_simhash_bands_fn, batch_format="pyarrow")
     cand = exploded.groupby("part").map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming"), Count(alias_name="n_buckets")
+    )
+
+
+def q_simhash_near_pairs(
+    sf_dir: str, max_hamming: int = 3, max_bucket: int = MAX_BUCKET
+) -> "ray.data.Dataset":
+    """SimHash near-dup pairs via 4×16-bit band blocking (any pair with
+    Hamming distance <= 3 shares at least one exact 16-bit band).
+    Buckets above ``max_bucket`` are skipped, observably — see
+    :func:`q_simhash_overflow`. Columns: doc_a, doc_b, hamming.
+    (No SQL oracle.)"""
+    cand = _simhash_candidates(sf_dir, max_hamming=max_hamming,
+                               max_bucket=max_bucket)
+    return cand.filter(expr="doc_a >= 0").drop_columns(["n_buckets"])
+
+
+def q_simhash_overflow(sf_dir: str, max_bucket: int = MAX_BUCKET) -> "ray.data.Dataset":
+    """Observability for the SimHash pair guard (sibling of
+    :func:`q_lsh_overflow`): how many band buckets were skipped as
+    oversized, the largest bucket seen, and the doc slots they held.
+    One row, zeros when nothing overflowed. Columns:
+    n_overflow_buckets, max_bucket_size, dropped_doc_slots.
+    (No SQL oracle: sketch internals.)"""
+    over = _simhash_candidates(sf_dir, max_bucket=max_bucket).filter(
+        expr="doc_a < 0"
+    ).materialize()  # tiny (one row per distinct overflowed bucket size)
+    return _overflow_summary(over, count_col="n_buckets")
 
 
 # --------------------------------------------- pairwise jaccard (join demo)

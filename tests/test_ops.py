@@ -126,6 +126,47 @@ def test_lsh_overflow_observable(ray_session, tmp_path):
     assert over_dflt["dropped_doc_slots"] == 0
 
 
+def test_simhash_hot_band_capped_and_observable(ray_session, tmp_path):
+    """A hot band bucket (near-identical boilerplate docs sharing all
+    four 16-bit band values) must be capped — bounded time — and the
+    skipped bucket must surface in q_simhash_overflow, mirroring the
+    MinHash guard."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deed_ocr_ray.pipelines.dedup import (
+        q_simhash_near_pairs, q_simhash_overflow,
+    )
+
+    d = tmp_path / "hotband"
+    d.mkdir()
+    hot = "identical boilerplate navigation footer text repeated across the site " * 3
+    # two identical docs (hamming 0, guaranteed shared bands), distinct
+    # from the hot group
+    near = ["alpha beta gamma delta epsilon zeta eta theta " * 4] * 2
+    docs = [hot] * 40 + near
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs, type=pa.string()),
+    }), str(d / "documents.parquet"))
+
+    # cap below the hot-bucket size: all four of its band buckets skip,
+    # but the small near-dup bucket still pairs
+    over = q_simhash_overflow(str(d), max_bucket=8).to_pandas().iloc[0]
+    assert over["n_overflow_buckets"] == 4
+    assert over["max_bucket_size"] == 40
+    assert over["dropped_doc_slots"] == 40 * 4
+    pairs = q_simhash_near_pairs(str(d), max_bucket=8).to_pandas()
+    assert ((pairs["doc_a"] == 40) & (pairs["doc_b"] == 41)).any()
+    assert (pairs["doc_a"] >= 0).all()  # sentinels never leak into pairs
+    assert not ((pairs["doc_a"] < 40) & (pairs["doc_b"] < 40)).any()
+    # default cap (64) admits the hot bucket: fully paired, no overflow
+    dflt = q_simhash_near_pairs(str(d)).to_pandas()
+    assert len(dflt) >= 40 * 39 // 2
+    over_dflt = q_simhash_overflow(str(d)).to_pandas().iloc[0]
+    assert over_dflt["n_overflow_buckets"] == 0
+
+
 def test_simhash_hamming_properties():
     from deed_ocr_ray.pipelines.dedup import simhash64
 
