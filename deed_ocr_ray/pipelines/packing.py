@@ -125,17 +125,15 @@ def q_kmeans(sf_dir: str) -> "ray.data.Dataset":
     seeded from the k lowest vec_ids). Returns final assignments.
     Columns: vec_id, cluster. (No SQL oracle: iterative algorithm —
     rows-only check.)"""
-    import pyarrow.parquet as pq
+    from .similarity import head_rows_by_key
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
-    # deterministic init: the k lowest vec_ids
-    seed_t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                           columns=["vec_id", "embedding"])
-    idx = pa.compute.sort_indices(seed_t, sort_keys=[("vec_id", "ascending")])
-    seed_t = seed_t.take(idx[:K_CLUSTERS])
-    centroids = np.array(seed_t.column("embedding").to_pylist(), dtype=np.float64)
+    # deterministic init: the k lowest vec_ids, selected distributed
+    # (no whole-table read on the driver — k rows land here)
+    seed_df = head_rows_by_key(ds, "vec_id", K_CLUSTERS)
+    centroids = np.array(seed_df["embedding"].tolist(), dtype=np.float64)
 
     def partials_fn(cref):
         def fn(t: pa.Table) -> pa.Table:
