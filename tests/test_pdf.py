@@ -124,3 +124,51 @@ def test_layout_stage_nested_and_flattened(ray_session):
                   for b in p["blocks"] for l in b["lines"])
     assert flat.num_rows == n_words == 7
     assert flat.column("word").to_pylist()[:2] == ["Hello", "world"]
+
+
+def test_layout_geometry_exact_origins_and_estimated_extents():
+    """Line origins come EXACTLY from the content stream's Td operands
+    (fixtures: '72 720 Td' then '0 -14 Td' per line); word extents use
+    the documented 0.5 em/char estimate; page dims from /MediaBox."""
+    from deed_ocr_ray.stages.pdf_extract import parse_pdf_layout
+
+    pdf = make_pdf([["Hello world line one", "Second line here"]], compress=True)
+    (page,) = parse_pdf_layout(pdf)
+    assert (page["width"], page["height"]) == (612.0, 792.0)
+    (block,) = page["blocks"]
+    l1, l2 = block["lines"]
+    assert l1["bbox"][:2] == [72.0, 720.0]      # exact Td origin
+    assert l2["bbox"][:2] == [72.0, 720.0 - 14]  # relative Td move
+    # word extents: 0.5 em * 12pt = 6pt per char, single joining space
+    w = l1["words"][0]
+    assert w["bbox"] == [72.0, 720.0, 72.0 + 6.0 * len("Hello"), 732.0]
+    w2 = l1["words"][1]
+    assert w2["bbox"][0] == 72.0 + 6.0 * (len("Hello") + 1)
+    # nesting invariant: every word bbox inside its line, line inside block
+    for ln in block["lines"]:
+        for wd in ln["words"]:
+            assert ln["bbox"][0] <= wd["bbox"][0] <= wd["bbox"][2] <= ln["bbox"][2]
+        assert block["bbox"][0] <= ln["bbox"][0]
+        assert block["bbox"][3] >= ln["bbox"][3]
+    # bbox inside the page
+    assert 0 <= block["bbox"][0] and block["bbox"][2] <= page["width"]
+    assert 0 <= block["bbox"][1] and block["bbox"][3] <= page["height"]
+
+
+def test_layout_flattened_carries_bbox_columns(ray_session):
+    import pyarrow as pa
+
+    from deed_ocr_ray.stages.pdf_extract import PdfLayoutStage
+
+    pdf = make_pdf([["Alpha beta"]])
+    batch = pa.table({
+        "url": pa.array(["u"], type=pa.string()),
+        "html": pa.array([pdf], type=pa.binary()),
+    })
+    flat = PdfLayoutStage(flatten=True)(batch)
+    for col in ("x1", "y1", "x2", "y2", "page_width", "page_height"):
+        assert col in flat.column_names
+    rows = flat.to_pylist()
+    assert rows[0]["x1"] == 72.0 and rows[0]["y1"] == 720.0
+    assert all(r["x2"] > r["x1"] and r["y2"] > r["y1"] for r in rows)
+    assert all(r["page_width"] == 612.0 and r["page_height"] == 792.0 for r in rows)
