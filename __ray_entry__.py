@@ -76,8 +76,7 @@ def _url_dedup_query(sf_dir: str) -> Any:
     pattern: shuffle on ``hash(url) % 256``, resolve exact urls with a
     vectorized in-partition groupby (per-key map_groups pays one UDF
     call per mostly-singleton key)."""
-    import zlib
-
+    import numpy as np
     import pandas as pd
 
     from deed_ocr_ray.pipelines.corpus import pages_corpus_for
@@ -87,8 +86,11 @@ def _url_dedup_query(sf_dir: str) -> Any:
     ds = read_pages(corpus, columns=["url", "warc_ts"])
 
     def add_part(t: pa.Table) -> pa.Table:
-        parts = [zlib.crc32(u.encode()) & 0xFF for u in t["url"].to_pylist()]
-        return t.append_column("part", pa.array(parts, type=pa.int32()))
+        # vectorized (C-level) string hashing; any deterministic hash
+        # works here — the partition id is internal to the shuffle
+        h = pd.util.hash_array(np.asarray(t["url"].to_pylist(), dtype=object))
+        return t.append_column(
+            "part", pa.array((h % 256).astype(np.int32), type=pa.int32()))
 
     def first_by_ts(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["url", "warc_ts"]).drop_duplicates("url", keep="first")
@@ -130,7 +132,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         textops, windows,
     )
 
+    # NOTE on ordering: the driver walks this dict in insertion order;
+    # in round 2 its overall budget cut off the last five entries, so
+    # the queries that have gone longest without a CORRECTNESS row run
+    # FIRST (similarity + multimodal), then the flagship family, then
+    # the oracle-green bulk.
     return {
+        # round-2 gate gap: never/rarely driver-checked — keep first
+        "knn_cosine": similarity.q_knn_cosine,
+        "knn_ivf": similarity.q_knn_ivf,
+        "embedding_neardup": similarity.q_embedding_neardup,
+        "media_pipeline": multimodal.q_media_pipeline,
+        "image_features": multimodal.q_image_features,
         # flagship extraction (rows-only: non-SQL-expressible)
         "extract": _extract_query,
         "ensemble_extract": ensemble.q_ensemble_extract,
@@ -188,14 +201,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_validate": dedup.q_minhash_validate,
         "lsh_overflow": dedup.q_lsh_overflow,
         "simhash_overflow": dedup.q_simhash_overflow,
-        # similarity search
-        "knn_cosine": similarity.q_knn_cosine,
-        "knn_ivf": similarity.q_knn_ivf,
-        "embedding_neardup": similarity.q_embedding_neardup,
-        # multimodal: real PNG/PPM decode + features; fake decode only
-        # for codec-bound formats (stub boundary)
-        "media_pipeline": multimodal.q_media_pipeline,
-        "image_features": multimodal.q_image_features,
     }
 
 
