@@ -54,8 +54,12 @@ def _load_queries(sf_dir: str, n: int = N_QUERIES) -> Tuple[np.ndarray, np.ndarr
     return q, qid, qlab
 
 
-_COS_CHUNK = 512  # corpus rows per temporary: bounds the O(q·chunk·dim)
-                  # cumsum scratch regardless of batch size
+import os
+
+_COS_CHUNK = int(os.environ.get("DEED_COS_CHUNK", "512"))
+# corpus rows per temporary: bounds the O(q·chunk·dim) cumsum scratch
+# regardless of batch size (env-overridable for A/B perf attribution;
+# chunking along n changes no per-element arithmetic)
 
 
 def _cosine_block(q: np.ndarray, m: np.ndarray) -> np.ndarray:
