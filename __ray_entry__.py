@@ -128,8 +128,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from deed_ocr_ray.pipelines import (
-        dedup, ensemble, multimodal, packing, prep, relational, similarity,
-        textops, windows,
+        curation, dedup, ensemble, multimodal, packing, prep, relational,
+        similarity, textops, windows,
     )
 
     # NOTE on ordering: the driver walks this dict in insertion order;
@@ -188,6 +188,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_repetition": textops.q_line_repetition,
         "compress_ratio": textops.q_compress_ratio,
         "corpus_filter": textops.q_corpus_filter,
+        # corpus curation (round 3; SQL oracles throughout)
+        "stratified_split": curation.q_stratified_split,
+        "split_stats": curation.q_split_stats,
+        "pii_redact": curation.q_pii_redact,
+        "domain_stats": curation.q_domain_stats,
+        "length_histogram": curation.q_length_histogram,
+        "term_stats": curation.q_term_stats,
         # packing / iterative (prefix-sum + Lloyd's)
         "pack_windows": packing.q_pack_windows,
         "kmeans": packing.q_kmeans,
@@ -201,12 +208,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_validate": dedup.q_minhash_validate,
         "lsh_overflow": dedup.q_lsh_overflow,
         "simhash_overflow": dedup.q_simhash_overflow,
+        "neardup_clusters": dedup.q_neardup_clusters,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from deed_ocr_ray.pipelines import (
-        dedup, ensemble, packing, relational, similarity, textops, windows,
+        curation, dedup, ensemble, packing, relational, similarity, textops,
+        windows,
     )
 
     return {
@@ -246,4 +255,10 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_adjacent": dedup.Q_JACCARD_ADJ_SQL,
         "knn_cosine": similarity.Q_KNN_SQL,
         "knn_ivf": similarity.Q_KNN_IVF_SQL,
+        "stratified_split": curation.Q_STRATIFIED_SPLIT_SQL,
+        "split_stats": curation.Q_SPLIT_STATS_SQL,
+        "pii_redact": curation.Q_PII_REDACT_SQL,
+        "domain_stats": curation.Q_DOMAIN_STATS_SQL,
+        "length_histogram": curation.Q_LENGTH_HISTOGRAM_SQL,
+        "term_stats": curation.Q_TERM_STATS_SQL,
     }

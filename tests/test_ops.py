@@ -477,3 +477,60 @@ def test_embedding_neardup_hot_label_capped(ray_session, tmp_path):
     assert chunked[["label", "vec_a", "vec_b", "is_above_threshold"]].equals(
         plain[["label", "vec_a", "vec_b", "is_above_threshold"]])
     assert np.allclose(chunked["cos"], plain["cos"])
+
+
+def test_neardup_clusters_match_union_find(ray_session, tmp_path):
+    """The distributed min-label propagation must produce exactly the
+    connected components an in-process union-find computes over the
+    same verified near-dup pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deed_ocr_ray.pipelines.dedup import q_minhash_pairs, q_neardup_clusters
+
+    d = tmp_path / "clusters"
+    d.mkdir()
+    # three near-dup families (slight suffix edits keep Jaccard high)
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3,
+        "one two three four five six seven eight nine ten " * 3,
+        "red orange yellow green blue indigo violet crimson azure teal " * 3,
+    ]
+    docs, ids = [], []
+    n = 0
+    for fam in base:
+        for j in range(4):
+            docs.append(fam + f"tail{j}")
+            ids.append(n)
+            n += 1
+    for j in range(5):  # singletons: never clustered
+        docs.append(f"unique solitary document number {j} with words {j*13} {j*29}")
+        ids.append(n)
+        n += 1
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(docs, type=pa.string()),
+    }), str(d / "documents.parquet"))
+
+    pairs = q_minhash_pairs(str(d)).to_pandas()
+    assert len(pairs) > 0
+    # in-process union-find over the same pairs
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    got = q_neardup_clusters(str(d)).to_pandas()
+    got_map = dict(zip(got["doc_id"], got["rep_id"]))
+    assert got_map == want
+    # every rep is its own rep; singletons absent from the output
+    assert all(got_map[r] == r for r in set(want.values()))

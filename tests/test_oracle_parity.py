@@ -47,6 +47,12 @@ PARITY = [
     ("pack_windows",),
     ("corpus_filter",),
     ("daily_active_users",),
+    ("stratified_split",),
+    ("split_stats",),
+    ("pii_redact",),
+    ("domain_stats",),
+    ("length_histogram",),
+    ("term_stats",),
 ]
 
 
