@@ -811,7 +811,9 @@ def q_neardup_clusters(
         msgs = msgs.map_batches(
             lambda t: pa.table({"node": t["nbr"], "label": t["label"]}),
             batch_format="pyarrow",
-        )
+        ).materialize()  # barrier: join phase before the groupby shuffle
+        # (one streaming plan holding both deadlocks at low CPU counts —
+        # see q_minhash_pairs; the message list is small)
         labels = (
             labels.union(msgs)
             .groupby("node")
