@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rank": windows.q_order_rank,
         "customers_no_orders": windows.q_customers_no_orders,
         "asof_last_event": windows.q_asof_last_event,
+        "range_join_events": windows.q_range_join_events,
         "price_quantiles": windows.q_price_quantiles,
         "sessionize": windows.q_sessionize,
         "moving_avg_dau": windows.q_moving_avg_dau,
@@ -224,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "order_rank": windows.Q_ORDER_RANK_SQL,
         "customers_no_orders": windows.Q_NO_ORDERS_SQL,
         "asof_last_event": windows.Q_ASOF_SQL,
+        "range_join_events": windows.Q_RANGE_JOIN_SQL,
         "price_quantiles": windows.Q_PRICE_QUANTILES_SQL,
         "sessionize": windows.Q_SESSIONIZE_SQL,
         "q1_pricing_summary": relational.Q1_SQL,

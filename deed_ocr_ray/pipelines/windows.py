@@ -491,3 +491,113 @@ def q_price_quantile_sketch(sf_dir: str) -> "ray.data.Dataset":
     parts = ds.map_batches(sketch, batch_format="pyarrow")
     return parts.repartition(1).map_batches(merge, batch_format="pyarrow",
                                             batch_size=None)
+
+
+# ------------------------------------------------------------- range join
+
+RANGE_DAYS = 7
+
+
+def q_range_join_events(sf_dir: str, days: int = RANGE_DAYS) -> "ray.data.Dataset":
+    """Range join (Ray Data has no primitive): for each order, the count
+    and first timestamp of events with ``user_id = o_custkey`` and
+    ``ts ∈ [o_orderdate, o_orderdate + days)``. Same shape as the as-of
+    join: both tables tagged into one common-schema stream,
+    co-partitioned on the key, range resolved per partition with TWO
+    ``searchsorted`` probes over each key's sorted event timeline.
+    Range aggregates are chosen exact (count + min-ts) so the DuckDB
+    oracle hashes bit-identically — a float SUM over the range would
+    depend on accumulation order. Partitioning assumption: a single
+    key's event timeline fits one partition (salt hot keys beyond
+    that). Columns: o_orderkey, n_events_7d, first_event_ts."""
+    delta = np.timedelta64(days * 86_400_000_000, "us")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(t["o_custkey"], N_PARTS - 1), pa.int32()),
+            "key": pc.cast(t["o_custkey"], pa.int64()),
+            "ts": t["o_orderdate"],
+            "o_orderkey": t["o_orderkey"],
+            "side": pa.array([0] * t.num_rows, type=pa.int8()),
+        })
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(t["user_id"], N_PARTS - 1), pa.int32()),
+            "key": pc.cast(t["user_id"], pa.int64()),
+            "ts": t["ts"],
+            "o_orderkey": pa.array([0] * t.num_rows, type=pa.int64()),
+            "side": pa.array([1] * t.num_rows, type=pa.int8()),
+        })
+
+    both = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        events.map_batches(tag_events, batch_format="pyarrow")
+    )
+
+    def ranged(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        timelines = {
+            k: np.sort(v["ts"].to_numpy())
+            for k, v in right.groupby("key", sort=False)
+        }
+        okeys, counts, firsts = [], [], []
+        for k, sub in left.groupby("key", sort=False):
+            tl = timelines.get(k)
+            ots = sub["ts"].to_numpy()
+            if tl is None or len(tl) == 0:
+                cnt = np.zeros(len(sub), dtype=np.int64)
+                first = np.full(len(sub), np.datetime64("NaT", "us"))
+            else:
+                lo = np.searchsorted(tl, ots, side="left")
+                hi = np.searchsorted(tl, ots + delta, side="left")
+                cnt = (hi - lo).astype(np.int64)
+                first = np.where(cnt > 0, tl[np.minimum(lo, len(tl) - 1)],
+                                 np.datetime64("NaT", "us"))
+            okeys.append(sub["o_orderkey"].to_numpy())
+            counts.append(cnt)
+            firsts.append(first.astype("datetime64[us]"))
+        if not okeys:
+            return pa.table({
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "n_events_7d": pa.array([], type=pa.int64()),
+                "first_event_ts": pa.array([], type=pa.timestamp("us")),
+            })
+        return pa.table({
+            "o_orderkey": pa.array(np.concatenate(okeys), type=pa.int64()),
+            "n_events_7d": pa.array(np.concatenate(counts), type=pa.int64()),
+            "first_event_ts": pa.Array.from_pandas(
+                pd.Series(np.concatenate(firsts)), type=pa.timestamp("us")
+            ),
+        })
+
+    return both.groupby("part").map_groups(ranged, batch_format="pandas")
+
+
+def range_join_events_sql(days: int = RANGE_DAYS) -> str:
+    return f"""
+SELECT o.o_orderkey AS o_orderkey,
+       (SELECT count(*) FROM events e
+         WHERE e.user_id = o.o_custkey
+           AND e.ts >= o.o_orderdate
+           AND e.ts < o.o_orderdate + INTERVAL {int(days)} DAY) AS n_events_7d,
+       (SELECT min(e.ts) FROM events e
+         WHERE e.user_id = o.o_custkey
+           AND e.ts >= o.o_orderdate
+           AND e.ts < o.o_orderdate + INTERVAL {int(days)} DAY) AS first_event_ts
+FROM orders o
+"""
+
+
+Q_RANGE_JOIN_SQL = range_join_events_sql()

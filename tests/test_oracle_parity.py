@@ -47,6 +47,7 @@ PARITY = [
     ("pack_windows",),
     ("corpus_filter",),
     ("daily_active_users",),
+    ("range_join_events",),
     ("stratified_split",),
     ("split_stats",),
     ("pii_redact",),
