@@ -128,8 +128,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from deed_ocr_ray.pipelines import (
-        curation, dedup, ensemble, multimodal, packing, prep, relational,
-        similarity, textops, windows,
+        analysis, curation, dedup, ensemble, multimodal, packing, prep,
+        relational, similarity, textops, windows,
     )
 
     # NOTE on ordering: the driver walks this dict in insertion order;
@@ -196,6 +196,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": curation.q_domain_stats,
         "length_histogram": curation.q_length_histogram,
         "term_stats": curation.q_term_stats,
+        # corpus analysis (round 3 widening #2; SQL oracles throughout)
+        "dup_ngram_coverage": analysis.q_dup_ngram_coverage,
+        "tfidf_topk": analysis.q_tfidf_topk,
+        "event_gaps": analysis.q_event_gaps,
+        "revenue_rollup": analysis.q_revenue_rollup,
+        "corr_qty_discount": analysis.q_corr_qty_discount,
         # packing / iterative (prefix-sum + Lloyd's)
         "pack_windows": packing.q_pack_windows,
         "kmeans": packing.q_kmeans,
@@ -215,8 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from deed_ocr_ray.pipelines import (
-        curation, dedup, ensemble, packing, relational, similarity, textops,
-        windows,
+        analysis, curation, dedup, ensemble, packing, relational, similarity,
+        textops, windows,
     )
 
     return {
@@ -263,4 +269,9 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": curation.Q_DOMAIN_STATS_SQL,
         "length_histogram": curation.Q_LENGTH_HISTOGRAM_SQL,
         "term_stats": curation.Q_TERM_STATS_SQL,
+        "dup_ngram_coverage": analysis.Q_DUP_NGRAM_COVERAGE_SQL,
+        "tfidf_topk": analysis.Q_TFIDF_TOPK_SQL,
+        "event_gaps": analysis.Q_EVENT_GAPS_SQL,
+        "revenue_rollup": analysis.Q_REVENUE_ROLLUP_SQL,
+        "corr_qty_discount": analysis.Q_CORR_QTY_DISCOUNT_SQL,
     }
