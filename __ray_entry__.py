@@ -129,7 +129,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from deed_ocr_ray.pipelines import (
         analysis, curation, dedup, ensemble, multimodal, packing, prep,
-        relational, similarity, textops, windows,
+        relational, similarity, sketches, textops, windows,
     )
 
     # NOTE on ordering: the driver walks this dict in insertion order;
@@ -202,6 +202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": analysis.q_event_gaps,
         "revenue_rollup": analysis.q_revenue_rollup,
         "corr_qty_discount": analysis.q_corr_qty_discount,
+        # probabilistic filters (round 3 widening #3)
+        "bloom_semijoin": sketches.q_bloom_semijoin,
+        "heavy_hitters": sketches.q_heavy_hitters,
         # packing / iterative (prefix-sum + Lloyd's)
         "pack_windows": packing.q_pack_windows,
         "kmeans": packing.q_kmeans,
@@ -222,7 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from deed_ocr_ray.pipelines import (
         analysis, curation, dedup, ensemble, packing, relational, similarity,
-        textops, windows,
+        sketches, textops, windows,
     )
 
     return {
@@ -274,4 +277,5 @@ def oracle_sql() -> dict[str, str]:
         "event_gaps": analysis.Q_EVENT_GAPS_SQL,
         "revenue_rollup": analysis.Q_REVENUE_ROLLUP_SQL,
         "corr_qty_discount": analysis.Q_CORR_QTY_DISCOUNT_SQL,
+        "bloom_semijoin": sketches.Q_BLOOM_SEMIJOIN_SQL,
     }
