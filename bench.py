@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "stratified_split",
     "pii_redact",
     "term_stats",
+    "dup_ngram_coverage",
+    "tfidf_topk",
+    "bloom_semijoin",
+    "heavy_hitters",
 ]
 
 
