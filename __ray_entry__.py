@@ -202,6 +202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": analysis.q_event_gaps,
         "revenue_rollup": analysis.q_revenue_rollup,
         "corr_qty_discount": analysis.q_corr_qty_discount,
+        "quantity_percentiles": analysis.q_quantity_percentiles,
+        "retention_7d": analysis.q_retention,
+        "stratified_sample": curation.q_stratified_sample,
         # probabilistic filters (round 3 widening #3)
         "bloom_semijoin": sketches.q_bloom_semijoin,
         "heavy_hitters": sketches.q_heavy_hitters,
@@ -278,4 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_rollup": analysis.Q_REVENUE_ROLLUP_SQL,
         "corr_qty_discount": analysis.Q_CORR_QTY_DISCOUNT_SQL,
         "bloom_semijoin": sketches.Q_BLOOM_SEMIJOIN_SQL,
+        "quantity_percentiles": analysis.Q_QUANTITY_PERCENTILES_SQL,
+        "retention_7d": analysis.Q_RETENTION_SQL,
+        "stratified_sample": curation.Q_STRATIFIED_SAMPLE_SQL,
     }

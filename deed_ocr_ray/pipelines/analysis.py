@@ -495,6 +495,160 @@ def q_corr_qty_discount(sf_dir: str) -> "ray.data.Dataset":
                                             batch_size=None)
 
 
+# ----------------------------------------------------- 7-day retention
+
+RETENTION_DAYS = 7
+
+
+def q_retention(sf_dir: str, horizon: int = RETENTION_DAYS) -> "ray.data.Dataset":
+    """Per-day user retention: of the users active on day D, how many
+    are also active on day D+``horizon`` — the classic event-analytics
+    SELF-JOIN, executed without one: distinct (user, day) rows
+    co-partition on ``user % P``, so each partition holds every day of
+    its users and answers the day+h membership with one vectorized
+    merge against its own rows shifted by ``-horizon``; only slim
+    per-day partial counts reach the final exchange. Per-batch
+    (user, day) dedup shrinks the first shuffle to unique pairs.
+    Columns: day, n_active, n_retained.
+    """
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy(), "d": day})
+        df = df.drop_duplicates()
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(), type=pa.int64()),
+            "d": pa.array(df["d"].to_numpy(), type=pa.int64()),
+            "part": pa.array((df["user_id"].to_numpy() % N_PARTS).astype(np.int32),
+                             type=pa.int32()),
+        })
+
+    def per_user(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["user_id", "d"])  # cross-batch dedup
+        # membership of (user, d+h) == this partition's rows shifted back
+        fut = g.assign(d=g["d"] - horizon)[["user_id", "d"]].assign(hit=1)
+        m = g[["user_id", "d"]].merge(fut, on=["user_id", "d"], how="left")
+        agg = m.groupby("d").agg(n_active=("user_id", "size"),
+                                 n_retained=("hit", "sum"))
+        return pa.table({
+            "d": pa.array(agg.index.to_numpy(), type=pa.int64()),
+            "n_active": pa.array(agg["n_active"].to_numpy(), type=pa.int64()),
+            "n_retained": pa.array(agg["n_retained"].to_numpy().astype(np.int64),
+                                   type=pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_user, batch_format="pandas")
+        .groupby("d")
+        .aggregate(Sum("n_active", alias_name="n_active"),
+                   Sum("n_retained", alias_name="n_retained"))
+    )
+
+    def stringify(t: pa.Table) -> pa.Table:
+        days = t["d"].to_numpy().astype("datetime64[D]").astype(str)
+        return pa.table({
+            "day": pa.array(days, type=pa.string()),
+            "n_active": t["n_active"],
+            "n_retained": t["n_retained"],
+        })
+
+    return agg.map_batches(stringify, batch_format="pyarrow")
+
+
+def retention_sql(horizon: int = RETENTION_DAYS) -> str:
+    return f"""
+WITH ad AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events)
+SELECT strftime(a.d, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(COUNT(b.user_id) AS BIGINT) AS n_retained
+FROM ad a LEFT JOIN ad b ON a.user_id = b.user_id AND b.d = a.d + {int(horizon)}
+GROUP BY 1
+"""
+
+
+Q_RETENTION_SQL = retention_sql()
+
+
+# ------------------------------------- interpolated percentiles (cont)
+
+def q_quantity_percentiles(sf_dir: str) -> "ray.data.Dataset":
+    """Interpolated (percentile_cont-semantics) p25/p50/p75/p90 of
+    lineitem quantity — completes the quantile family (exact discrete:
+    ``windows.q_price_quantiles``; mergeable approx:
+    ``windows.q_price_quantile_sketch``) with an EXACT continuous
+    variant that still scales: quantity's value domain is bounded, so
+    the pipeline pre-aggregates to per-batch value counts, groupby-sums
+    to at most |domain| slim rows, and one reduce task interpolates
+    from the cumulative counts. Nothing sorts raw rows anywhere. The
+    interpolation (``lo + (hi-lo)*(rank-floor(rank))`` at rank
+    ``q*(n-1)``) uses the same IEEE op tree as DuckDB's
+    ``percentile_cont``, so the result is value-hash exact.
+    Columns: n, p25, p50, p75, p90.
+    """
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_quantity"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnt = np.unique(v, return_counts=True)
+        return pa.table({
+            "qty": pa.array(vals, type=pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), type=pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("qty")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def interpolate(t: pa.Table) -> pa.Table:
+        order = np.argsort(t["qty"].to_numpy())
+        vals = t["qty"].to_numpy()[order].astype(np.float64)
+        cnt = np.asarray(t["cnt"].to_pylist())[order]
+        cum = np.cumsum(cnt)
+        n = int(cum[-1]) if len(cum) else 0
+
+        def pct(q: float) -> float:
+            # DuckDB percentile_cont: rank q*(n-1) over the sorted
+            # multiset; linear interpolation between the two order stats
+            if n == 0:
+                return 0.0
+            rank = q * (n - 1)
+            lo = int(math.floor(rank))
+            hi = min(lo + 1, n - 1)
+            x_lo = float(vals[np.searchsorted(cum, lo + 1)])
+            x_hi = float(vals[np.searchsorted(cum, hi + 1)])
+            return x_lo + (x_hi - x_lo) * (rank - lo)
+
+        return pa.table({
+            "n": pa.array([n], type=pa.int64()),
+            "p25": pa.array([pct(0.25)], type=pa.float64()),
+            "p50": pa.array([pct(0.5)], type=pa.float64()),
+            "p75": pa.array([pct(0.75)], type=pa.float64()),
+            "p90": pa.array([pct(0.9)], type=pa.float64()),
+        })
+
+    return agg.repartition(1).map_batches(interpolate, batch_format="pyarrow",
+                                          batch_size=None)
+
+
+Q_QUANTITY_PERCENTILES_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       percentile_cont(0.25) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS p25,
+       percentile_cont(0.5)  WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS p50,
+       percentile_cont(0.75) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS p75,
+       percentile_cont(0.9)  WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS p90
+FROM lineitem
+"""
+
+
 Q_CORR_QTY_DISCOUNT_SQL = """
 WITH m AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,

@@ -369,3 +369,69 @@ ORDER BY df DESC, term ASC LIMIT {int(k)}
 
 
 Q_TERM_STATS_SQL = term_stats_sql()
+
+
+# -------------------------------------- deterministic stratified sample
+
+def q_stratified_sample(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Fixed-size deterministic sample PER STRATUM (language): the k
+    docs with the smallest ``md5(doc_id)`` in each lang — the
+    reproducible per-group sampler (companion to ``stratified_split``,
+    which partitions ALL docs; this picks a bounded audit/eval set per
+    stratum, stable under re-runs and row order).
+
+    Grouped-top-k shape: each batch keeps only its local k smallest
+    (lang, h) rows (combiner — the exchange carries at most
+    k × strata × blocks slim rows, never the corpus), then one slim
+    groupby resolves the global per-stratum top-k. Ties are impossible
+    (md5 over distinct ids), but doc_id breaks them deterministically
+    anyway, matching the oracle's ORDER BY.
+    Columns: lang, doc_id, h, rk.
+    """
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "lang": t["lang"].to_pylist(),
+            "doc_id": t["doc_id"].to_pylist(),
+        })
+        df["h"] = [hashlib.md5(str(i).encode()).hexdigest() for i in df["doc_id"]]
+        df = df.sort_values(["lang", "h", "doc_id"]).groupby("lang", sort=False).head(k)
+        return pa.table({
+            "lang": pa.array(df["lang"].tolist(), type=pa.string()),
+            "doc_id": pa.array(df["doc_id"].to_numpy(), type=pa.int64()),
+            "h": pa.array(df["h"].tolist(), type=pa.string()),
+        })
+
+    def resolve(g) -> pa.Table:
+        g = g.sort_values(["h", "doc_id"]).head(k)
+        return pa.table({
+            "lang": pa.array(g["lang"].tolist(), type=pa.string()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(), type=pa.int64()),
+            "h": pa.array(g["h"].tolist(), type=pa.string()),
+            "rk": pa.array(np.arange(1, len(g) + 1, dtype=np.int64), type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("lang")  # strata are few — per-key map_groups is fine
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+def stratified_sample_sql(k: int = 10) -> str:
+    return f"""
+SELECT lang, doc_id, h, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= {int(k)}
+"""
+
+
+Q_STRATIFIED_SAMPLE_SQL = stratified_sample_sql()

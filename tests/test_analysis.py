@@ -182,3 +182,106 @@ def test_corr_matches_numpy(ray_session):
     assert got["n"] == len(x) and got["sx"] == x.sum() and got["sxy"] == (x * y).sum()
     ref = np.corrcoef(x, y)[0, 1]
     assert got["corr_xy"] == pytest.approx(ref, abs=1e-12)
+
+
+# ------------------------------------------- interpolated percentiles
+
+def test_quantity_percentiles_matches_oracle(ray_session, tmp_path):
+    from deed_ocr_ray.pipelines.analysis import (
+        Q_QUANTITY_PERCENTILES_SQL, q_quantity_percentiles)
+
+    rng = np.random.default_rng(2)
+    li = pa.table({
+        # 997 rows: q*(n-1) lands on fractional ranks for every q
+        "l_quantity": pa.array(rng.integers(1, 51, 997), type=pa.int64()),
+    })
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    got = q_quantity_percentiles(str(tmp_path)).to_pandas()
+    want = _oracle(tmp_path, Q_QUANTITY_PERCENTILES_SQL, ["lineitem"])
+    assert _hash(got) == _hash(want)
+    assert got["n"].iloc[0] == 997
+
+
+def test_quantity_percentiles_interpolates_between_order_stats(ray_session, tmp_path):
+    from deed_ocr_ray.pipelines.analysis import q_quantity_percentiles
+
+    li = pa.table({"l_quantity": pa.array([10, 20, 30, 40], type=pa.int64())})
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    got = q_quantity_percentiles(str(tmp_path)).to_pandas().iloc[0]
+    # rank 0.5*(4-1)=1.5 -> midpoint of 20 and 30
+    assert got["p50"] == 25.0
+    # rank 0.25*3=0.75 -> 10 + 0.75*(20-10)
+    assert got["p25"] == 17.5
+
+
+# -------------------------------------------- stratified sample
+
+def test_stratified_sample_matches_oracle(ray_session, tmp_path):
+    from deed_ocr_ray.pipelines.curation import (
+        Q_STRATIFIED_SAMPLE_SQL, q_stratified_sample)
+
+    rng = np.random.default_rng(4)
+    n = 300
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "lang": pa.array(rng.choice(["en", "de", "fr"], n).tolist(),
+                         type=pa.string()),
+    })
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = q_stratified_sample(str(tmp_path)).to_pandas()
+    want = _oracle(tmp_path, Q_STRATIFIED_SAMPLE_SQL, ["documents"])
+    assert _hash(got) == _hash(want)
+    assert (got.groupby("lang")["doc_id"].count() == 10).all()
+
+
+def test_stratified_sample_stable_under_row_order(ray_session, tmp_path):
+    from deed_ocr_ray.pipelines.curation import q_stratified_sample
+
+    rng = np.random.default_rng(9)
+    n = 120
+    ids = np.arange(n)
+    langs = rng.choice(["en", "de"], n)
+    a = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "lang": pa.array(langs.tolist(), type=pa.string())})
+    perm = rng.permutation(n)
+    b = pa.table({"doc_id": pa.array(ids[perm], type=pa.int64()),
+                  "lang": pa.array(langs[perm].tolist(), type=pa.string())})
+    pq.write_table(a, str(tmp_path / "documents.parquet"))
+    r1 = _hash(q_stratified_sample(str(tmp_path)).to_pandas())
+    pq.write_table(b, str(tmp_path / "documents.parquet"))
+    r2 = _hash(q_stratified_sample(str(tmp_path)).to_pandas())
+    assert r1 == r2
+
+
+# ------------------------------------------------------- 7d retention
+
+def test_retention_matches_oracle(ray_session, tmp_path):
+    from deed_ocr_ray.pipelines.analysis import Q_RETENTION_SQL, q_retention
+
+    day = 86_400_000_000  # us
+    rows = [
+        # user 1: active day0 and day7 -> retained
+        (1, 0), (1, 7),
+        # user 2: active day0 only -> not retained
+        (2, 0),
+        # user 3: day0 twice (dedup) and day7
+        (3, 0), (3, 0), (3, 7),
+        # user 4: day1 and day8 -> retained for day1
+        (4, 1), (4, 8),
+        # user 5: day7 only (counts as active day7, not retained)
+        (5, 7),
+    ]
+    events = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "user_id": pa.array([u for u, _ in rows], type=pa.int64()),
+        "ts": pa.array([d * day for _, d in rows], type=pa.timestamp("us")),
+    })
+    _write(tmp_path, "events", events)
+    got = q_retention(str(tmp_path)).to_pandas()
+    want = _oracle(tmp_path, Q_RETENTION_SQL, ["events"])
+    assert _hash(got) == _hash(want)
+    g = got.set_index("day")
+    assert g.loc["1970-01-01", "n_active"] == 3   # users 1,2,3
+    assert g.loc["1970-01-01", "n_retained"] == 2  # users 1,3
+    assert g.loc["1970-01-02", "n_retained"] == 1  # user 4
+    assert g.loc["1970-01-08", "n_retained"] == 0
