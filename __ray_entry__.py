@@ -205,9 +205,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_percentiles": analysis.q_quantity_percentiles,
         "retention_7d": analysis.q_retention,
         "stratified_sample": curation.q_stratified_sample,
+        "source_mixture": curation.q_source_mixture,
+        "token_budget": curation.q_token_budget,
+        "decontaminate": curation.q_decontaminate,
+        "grouped_percentiles": analysis.q_grouped_percentiles,
+        "price_deciles": analysis.q_price_deciles,
+        "lang_pivot": analysis.q_lang_pivot,
         # probabilistic filters (round 3 widening #3)
         "bloom_semijoin": sketches.q_bloom_semijoin,
         "heavy_hitters": sketches.q_heavy_hitters,
+        "dau_hll": sketches.q_dau_hll,
         # packing / iterative (prefix-sum + Lloyd's)
         "pack_windows": packing.q_pack_windows,
         "kmeans": packing.q_kmeans,
@@ -284,4 +291,10 @@ def oracle_sql() -> dict[str, str]:
         "quantity_percentiles": analysis.Q_QUANTITY_PERCENTILES_SQL,
         "retention_7d": analysis.Q_RETENTION_SQL,
         "stratified_sample": curation.Q_STRATIFIED_SAMPLE_SQL,
+        "source_mixture": curation.Q_SOURCE_MIXTURE_SQL,
+        "token_budget": curation.Q_TOKEN_BUDGET_SQL,
+        "decontaminate": curation.Q_DECONTAMINATE_SQL,
+        "grouped_percentiles": analysis.Q_GROUPED_PERCENTILES_SQL,
+        "price_deciles": analysis.Q_PRICE_DECILES_SQL,
+        "lang_pivot": analysis.Q_LANG_PIVOT_SQL,
     }

@@ -665,3 +665,248 @@ SELECT n, sx, sy, sxx, syy, sxy,
         sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)) AS corr_xy
 FROM m
 """
+
+
+# ------------------------------------ grouped interpolated percentiles
+
+def q_grouped_percentiles(sf_dir: str) -> "ray.data.Dataset":
+    """percentile_cont PER GROUP (l_returnflag): the grouped variant of
+    [[q_quantity_percentiles]] — same value-counts pre-aggregation over
+    the bounded quantity domain, keyed by (flag, qty), then a per-flag
+    interpolation over at most |domain| slim rows. Groups are few and
+    the per-group state is tiny, so per-key ``map_groups`` is fine
+    here (contrast the coarse-partition rule for high-cardinality
+    keys). Columns: l_returnflag, n, p50, p90.
+    """
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_quantity"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_pylist(),
+            "qty": t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        g = df.groupby(["l_returnflag", "qty"], sort=True).size().reset_index(name="cnt")
+        return pa.table({
+            "l_returnflag": pa.array(g["l_returnflag"].tolist(), type=pa.string()),
+            "qty": pa.array(g["qty"].to_numpy(), type=pa.int64()),
+            "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64), type=pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["l_returnflag", "qty"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def interpolate(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("qty")
+        vals = g["qty"].to_numpy().astype(np.float64)
+        cum = np.cumsum(g["cnt"].to_numpy())
+        n = int(cum[-1]) if len(cum) else 0
+
+        def pct(q: float) -> float:
+            if n == 0:
+                return 0.0
+            rank = q * (n - 1)
+            lo = int(math.floor(rank))
+            hi = min(lo + 1, n - 1)
+            x_lo = float(vals[np.searchsorted(cum, lo + 1)])
+            x_hi = float(vals[np.searchsorted(cum, hi + 1)])
+            return x_lo + (x_hi - x_lo) * (rank - lo)
+
+        return pa.table({
+            "l_returnflag": pa.array([g["l_returnflag"].iloc[0]], type=pa.string()),
+            "n": pa.array([n], type=pa.int64()),
+            "p50": pa.array([pct(0.5)], type=pa.float64()),
+            "p90": pa.array([pct(0.9)], type=pa.float64()),
+        })
+
+    return agg.groupby("l_returnflag").map_groups(interpolate, batch_format="pandas")
+
+
+Q_GROUPED_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS p50,
+       percentile_cont(0.9) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS p90
+FROM lineitem GROUP BY 1
+"""
+
+
+# ----------------------------------------------------- NTILE deciles
+
+NTILE_K = 10
+
+
+def q_price_deciles(sf_dir: str, k: int = NTILE_K) -> "ray.data.Dataset":
+    """NTILE(k) decile summary of order totals — equal-count buckets
+    over a GLOBAL order, the missing window shape after rank/lag/
+    running-sum. Global rank comes from the [[q_pack_windows]] two-pass
+    prefix-sum: sort the slim (cents, o_orderkey) table, ship only
+    per-block (first_key, n_rows) summaries to the driver, broadcast
+    exclusive row offsets, then assign exact 1-based global row numbers
+    block-locally and fold them straight into per-batch partial decile
+    aggregates — the full ranked table never re-shuffles; only
+    k × blocks partial rows reach the final tiny groupby.
+
+    NTILE semantics match SQL exactly: with n rows, the first n % k
+    buckets get ceil(n/k) rows. Money stays in integer cents
+    (DuckDB-identical half-away-from-zero rounding), so sums are
+    bit-exact. Columns: decile, n, min_cents, max_cents, sum_cents.
+    """
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        return pa.table({"cents": cents, "o_orderkey": t["o_orderkey"]})
+
+    slim = (ds.map_batches(to_cents, batch_format="pyarrow")
+            .sort(["cents", "o_orderkey"]).materialize())
+
+    def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cents": pa.array([], type=pa.int64()),
+                             "okey": pa.array([], type=pa.int64()),
+                             "rows": pa.array([], type=pa.int64())})
+        return pa.table({
+            "cents": pa.array([t["cents"][0].as_py()], type=pa.int64()),
+            "okey": pa.array([t["o_orderkey"][0].as_py()], type=pa.int64()),
+            "rows": pa.array([t.num_rows], type=pa.int64()),
+        })
+
+    summaries = sorted(
+        ((r["cents"], r["okey"]), r["rows"])
+        for r in slim.map_batches(summarize, batch_size=None,
+                                  batch_format="pyarrow").take_all()
+    )
+    offsets = {}
+    acc = 0
+    for key, rows in summaries:
+        offsets[key] = acc
+        acc += rows
+    total = acc
+    off_ref = ray.put(offsets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "decile": pa.array([], type=pa.int64()),
+            "n": pa.array([], type=pa.int64()),
+            "min_cents": pa.array([], type=pa.int64()),
+            "max_cents": pa.array([], type=pa.int64()),
+            "sum_cents": pa.array([], type=pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        off = ray.get(off_ref)[(t["cents"][0].as_py(), t["o_orderkey"][0].as_py())]
+        rn = off + np.arange(1, t.num_rows + 1, dtype=np.int64)  # 1-based
+        q, r = divmod(total, k)
+        # SQL NTILE: first r buckets hold q+1 rows each
+        cut = r * (q + 1)
+        dec = np.where(
+            rn <= cut,
+            (rn - 1) // (q + 1) + 1 if q + 1 > 0 else 1,
+            (r + (rn - cut - 1) // q + 1) if q > 0 else k,
+        ).astype(np.int64)
+        cents = t["cents"].to_numpy()
+        df = pd.DataFrame({"decile": dec, "cents": cents})
+        g = df.groupby("decile", sort=True)["cents"].agg(["size", "min", "max", "sum"])
+        return pa.table({
+            "decile": pa.array(g.index.to_numpy(), type=pa.int64()),
+            "n": pa.array(g["size"].to_numpy().astype(np.int64), type=pa.int64()),
+            "min_cents": pa.array(g["min"].to_numpy(), type=pa.int64()),
+            "max_cents": pa.array(g["max"].to_numpy(), type=pa.int64()),
+            "sum_cents": pa.array(g["sum"].to_numpy(), type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Max, Min
+
+    return (
+        slim.map_batches(partial, batch_size=None, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(Sum("n", alias_name="n"),
+                   Min("min_cents", alias_name="min_cents"),
+                   Max("max_cents", alias_name="max_cents"),
+                   Sum("sum_cents", alias_name="sum_cents"))
+    )
+
+
+def price_deciles_sql(k: int = NTILE_K) -> str:
+    return f"""
+WITH r AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+),
+t AS (
+  SELECT cents, NTILE({int(k)}) OVER (ORDER BY cents, o_orderkey) AS decile FROM r
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(cents) AS min_cents,
+       MAX(cents) AS max_cents,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM t GROUP BY 1
+"""
+
+
+Q_PRICE_DECILES_SQL = price_deciles_sql()
+
+
+# -------------------------------------------------- lang × source pivot
+
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def q_lang_pivot(sf_dir: str) -> "ray.data.Dataset":
+    """PIVOT/crosstab: per-source doc counts spread across one column
+    per language — the wide-format corpus composition report. Each
+    batch emits its own tiny crosstab (combiner: the exchange carries
+    |sources| × blocks slim rows, with counts already folded), then one
+    slim groupby sums the partials. Unseen languages emit 0 columns so
+    the schema is stable at every scale.
+    Columns: source, de, en, es, fr, zh, total.
+    """
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "lang"])
+
+    def crosstab(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": t["source"].to_pylist(),
+                           "lang": t["lang"].to_pylist()})
+        ct = pd.crosstab(df["source"], df["lang"])
+        cols = {"source": pa.array(ct.index.tolist(), type=pa.string())}
+        for lang in PIVOT_LANGS:
+            vals = (ct[lang].to_numpy() if lang in ct.columns
+                    else np.zeros(len(ct), dtype=np.int64))
+            cols[lang] = pa.array(vals.astype(np.int64), type=pa.int64())
+        cols["total"] = pa.array(ct.to_numpy().sum(axis=1).astype(np.int64),
+                                 type=pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(crosstab, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(*[Sum(lang, alias_name=lang) for lang in PIVOT_LANGS],
+                   Sum("total", alias_name="total"))
+    )
+
+
+Q_LANG_PIVOT_SQL = """
+SELECT source,
+       CAST(COUNT(*) FILTER (lang = 'de') AS BIGINT) AS de,
+       CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS en,
+       CAST(COUNT(*) FILTER (lang = 'es') AS BIGINT) AS es,
+       CAST(COUNT(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+       CAST(COUNT(*) FILTER (lang = 'zh') AS BIGINT) AS zh,
+       CAST(COUNT(*) AS BIGINT) AS total
+FROM documents GROUP BY 1
+"""

@@ -435,3 +435,296 @@ SELECT lang, doc_id, h, CAST(rk AS BIGINT) AS rk FROM (
 
 
 Q_STRATIFIED_SAMPLE_SQL = stratified_sample_sql()
+
+
+# ------------------------------------------- source mixture resampling
+
+def _mixture_weight_pct(source: str) -> int:
+    """Deterministic per-source keep weight in percent (25/50/75/100).
+
+    Stands in for the weights table a mixture config would supply; a
+    pure function of the source name so the DuckDB oracle can derive
+    the identical value: ``25 * ((CAST(substr(source, 4) AS INT) % 4) + 1)``
+    for the testdata's ``src<N>`` names (unknown names keep 100%).
+    """
+    try:
+        return 25 * ((int(source[3:]) % 4) + 1)
+    except (ValueError, IndexError):
+        return 100
+
+
+def q_source_mixture(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic weighted downsampling to a target source MIXTURE —
+    the resampling pass that rebalances a crawl toward the training
+    mixture (e.g. upweight books, downweight low-quality web). A doc is
+    kept iff its content-independent hash bucket (md5(doc_id) % 100,
+    the [[q_stratified_split]] bucket) falls below its source's keep
+    weight, so the sample is stable under re-runs and row order and
+    needs NO global state.
+
+    Two stages, canonical broadcast shape: (1) a slim distinct-source
+    pass (per-batch unique + tiny groupby) feeds the driver the handful
+    of sources, which builds the weight dict and ``ray.put``s it ONCE;
+    (2) a stateless vectorized probe keeps/drops each row against the
+    broadcast dict. At 100 TB the weights table is a few hundred rows —
+    broadcast, never a shuffle join.
+    Columns: doc_id, source, bucket, weight_pct.
+    """
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+
+    distinct = (
+        ds.map_batches(
+            lambda t: pa.table({"source": pa.array(
+                sorted(set(t["source"].to_pylist())), type=pa.string())}),
+            batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    weights = {r["source"]: _mixture_weight_pct(r["source"]) for r in distinct}
+    w_ref = ray.put(weights)
+
+    def probe(t: pa.Table) -> pa.Table:
+        w = ray.get(w_ref)
+        ids = t["doc_id"].to_pylist()
+        srcs = t["source"].to_pylist()
+        buckets = np.fromiter((_split_bucket(i) for i in ids),
+                              dtype=np.int64, count=len(ids))
+        pct = np.fromiter((w.get(s, 100) for s in srcs),
+                          dtype=np.int64, count=len(srcs))
+        keep = buckets < pct
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64)[keep], type=pa.int64()),
+            "source": pa.array([s for s, k in zip(srcs, keep) if k], type=pa.string()),
+            "bucket": pa.array(buckets[keep], type=pa.int64()),
+            "weight_pct": pa.array(pct[keep], type=pa.int64()),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+Q_SOURCE_MIXTURE_SQL = """
+SELECT doc_id, source,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+            AS BIGINT) AS bucket,
+       CAST(25 * ((CAST(substr(source, 4) AS INT) % 4) + 1) AS BIGINT) AS weight_pct
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+      < 25 * ((CAST(substr(source, 4) AS INT) % 4) + 1)
+"""
+
+
+# --------------------------------------------- token-budget selection
+
+TOKEN_BUDGET = 25_000
+
+
+def q_token_budget(sf_dir: str, budget: int = TOKEN_BUDGET) -> "ray.data.Dataset":
+    """Select the cleanest docs until a global TOKEN BUDGET is spent —
+    the "take the best N billion tokens" subsetting step of a training
+    run. Docs are ordered by (punct_ppm asc, doc_id) — the integer
+    quality signal of [[q_quality_score]] — and kept while the running
+    token total (ws tokens, inclusive) stays within ``budget``.
+
+    The global prefix sum follows the [[q_pack_windows]] two-pass
+    shape: sort the SLIM (doc_id, words, punct_ppm) table (text never
+    leaves the first stage), send only per-block (first_key, total)
+    summaries to the driver, broadcast the exclusive block offsets, and
+    emit exact per-row cumulative totals block-locally. No stage holds
+    more than a block; the driver sees one tiny row per block.
+    Columns: doc_id, words, punct_ppm, cum_tokens.
+    """
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def measure(t: pa.Table) -> pa.Table:
+        from deed_ocr_ray.pipelines.textops import _PUNCT_RE
+
+        words = []
+        ppm = []
+        for x in t["text"].to_pylist():
+            c = len(x)
+            words.append(len(x.split()))
+            p = len(_PUNCT_RE.findall(x))
+            ppm.append((p * 1_000_000) // c if c else 0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "words": pa.array(words, type=pa.int64()),
+            "punct_ppm": pa.array(ppm, type=pa.int64()),
+        })
+
+    slim = (ds.map_batches(measure, batch_format="pyarrow")
+            .sort(["punct_ppm", "doc_id"]).materialize())
+
+    def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"ppm": pa.array([], type=pa.int64()),
+                             "did": pa.array([], type=pa.int64()),
+                             "total": pa.array([], type=pa.int64())})
+        return pa.table({
+            "ppm": pa.array([t["punct_ppm"][0].as_py()], type=pa.int64()),
+            "did": pa.array([t["doc_id"][0].as_py()], type=pa.int64()),
+            "total": pa.array([int(pa.compute.sum(t["words"]).as_py() or 0)],
+                              type=pa.int64()),
+        })
+
+    summaries = sorted(
+        ((r["ppm"], r["did"]), r["total"])
+        for r in slim.map_batches(summarize, batch_size=None,
+                                  batch_format="pyarrow").take_all()
+    )
+    offsets = {}
+    acc = 0
+    for key, total in summaries:
+        offsets[key] = acc
+        acc += total
+    off_ref = ray.put(offsets)
+
+    def emit(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "words": pa.array([], type=pa.int64()),
+            "punct_ppm": pa.array([], type=pa.int64()),
+            "cum_tokens": pa.array([], type=pa.int64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        off = ray.get(off_ref)[(t["punct_ppm"][0].as_py(), t["doc_id"][0].as_py())]
+        w = t["words"].to_numpy()
+        cum = off + np.cumsum(w)
+        keep = cum <= budget
+        if not keep.any():
+            return empty
+        return pa.table({
+            "doc_id": pa.array(t["doc_id"].to_numpy()[keep], type=pa.int64()),
+            "words": pa.array(w[keep], type=pa.int64()),
+            "punct_ppm": pa.array(t["punct_ppm"].to_numpy()[keep], type=pa.int64()),
+            "cum_tokens": pa.array(cum[keep], type=pa.int64()),
+        })
+
+    return slim.map_batches(emit, batch_size=None, batch_format="pyarrow")
+
+
+def token_budget_sql(budget: int = TOKEN_BUDGET) -> str:
+    return rf"""
+WITH q AS (
+  SELECT doc_id,
+         CASE WHEN trim(text)='' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS words,
+         CASE WHEN length(text)=0 THEN 0
+              ELSE (length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1000000)
+                   // length(text) END AS punct_ppm
+  FROM documents
+),
+w AS (
+  SELECT doc_id, words, punct_ppm,
+         SUM(words) OVER (ORDER BY punct_ppm, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM q
+)
+SELECT doc_id, words, punct_ppm, CAST(cum AS BIGINT) AS cum_tokens
+FROM w WHERE cum <= {int(budget)}
+"""
+
+
+Q_TOKEN_BUDGET_SQL = token_budget_sql()
+
+
+# -------------------------------------- benchmark decontamination
+
+DECON_N = 8          # n-gram length of the overlap test
+BENCH_MOD = 40       # doc_id % BENCH_MOD == 0 stands in for the benchmark set
+
+
+def q_decontaminate(sf_dir: str, n: int = DECON_N,
+                    bench_mod: int = BENCH_MOD) -> "ray.data.Dataset":
+    """Benchmark DECONTAMINATION — flag training docs sharing any
+    ``n``-gram with a held-out benchmark set (the standard test-set
+    leakage scan, cf. GPT-3 App. C / PaLM's 8-gram overlap rule). The
+    benchmark here is the deterministic subset ``doc_id % bench_mod ==
+    0``; a real run would read it from its own table.
+
+    Broadcast shape, NOT a shuffle: the benchmark is fixed-size and
+    small by definition, so its distinct n-grams are collected once,
+    ``ray.put`` once, and every corpus batch probes the broadcast
+    frozenset locally (C-speed set probe per doc, one pass). Contrast
+    with [[q_dup_ngram_coverage]], which must co-locate grams because
+    BOTH sides are corpus-scale. Tokenization is single-space split of
+    the trimmed text, bit-identical to the oracle's ``string_split``.
+
+    Columns (non-benchmark docs only): doc_id, n_grams (distinct),
+    n_overlap (distinct grams also in the benchmark), contaminated.
+    """
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        out: set = set()
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if did % bench_mod != 0:
+                continue
+            toks = text.strip().split(" ")
+            for j in range(len(toks) - n + 1):
+                out.add(" ".join(toks[j:j + n]))
+        return pa.table({"ng": pa.array(sorted(out), type=pa.string())})
+
+    # benchmark side: small by definition -> driver set + one broadcast
+    bench = set()
+    for b in ds.map_batches(bench_grams, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        bench.update(b["ng"].to_pylist())
+    bench_ref = ray.put(frozenset(bench))
+
+    def probe(t: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        ids, n_grams, n_over = [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if did % bench_mod == 0:
+                continue
+            toks = text.strip().split(" ")
+            grams = {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+            ids.append(did)
+            n_grams.append(len(grams))
+            n_over.append(len(grams & bset))
+        over = np.asarray(n_over, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_grams": pa.array(n_grams, type=pa.int64()),
+            "n_overlap": pa.array(over, type=pa.int64()),
+            "contaminated": pa.array(over > 0, type=pa.bool_()),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def decontaminate_sql(n: int = DECON_N, bench_mod: int = BENCH_MOD) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(arr, u.j + 1, u.j + {int(n)}), ' ') AS ng
+  FROM toks, LATERAL (SELECT unnest(range(len(arr) - {int(n)} + 1)) AS j) u
+),
+bench AS (SELECT DISTINCT ng FROM grams WHERE doc_id % {int(bench_mod)} = 0),
+ngc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM grams WHERE doc_id % {int(bench_mod)} <> 0 GROUP BY 1),
+ov AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       FROM grams g JOIN bench USING (ng)
+       WHERE g.doc_id % {int(bench_mod)} <> 0 GROUP BY 1)
+SELECT t.doc_id,
+       COALESCE(ngc.n_grams, 0) AS n_grams,
+       COALESCE(ov.n_overlap, 0) AS n_overlap,
+       COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+FROM toks t
+LEFT JOIN ngc USING (doc_id) LEFT JOIN ov USING (doc_id)
+WHERE t.doc_id % {int(bench_mod)} <> 0
+"""
+
+
+Q_DECONTAMINATE_SQL = decontaminate_sql()

@@ -296,3 +296,57 @@ def q_heavy_hitters(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return parts.repartition(1).map_batches(merge, batch_format="pyarrow",
                                             batch_size=None)
+
+
+# ------------------------------------------- grouped HLL (per-day DAU)
+
+def q_dau_hll(sf_dir: str) -> "ray.data.Dataset":
+    """GROUPED HyperLogLog: approximate distinct users PER DAY — the
+    grouped variant of the global sketch ``dedup.q_hll_users`` and the
+    constant-memory stand-in for exact ``relational.q_daily_active_users``
+    (COUNT(DISTINCT) per group shuffles every (day, user) pair; this
+    shuffles one 4 KiB register blob per (day, batch) partial, a
+    constant per group regardless of user count — at 100 TB that is
+    the difference between an all-to-all of the user column and a few
+    MB of sketches).
+
+    Per-batch: one register array per day seen, keyed rows of
+    ``(day, regs_blob)``. One slim groupby merges blobs with
+    element-wise max and estimates. The estimate-vs-exact audit lives
+    in ``tests/test_sketches.py`` (the sketch-audit rule).
+    Columns: day, est_users.
+    """
+
+    from deed_ocr_ray.pipelines.dedup import _hll_registers, hll_estimate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["ts"].to_numpy().astype("datetime64[D]")
+        users = t["user_id"].to_numpy()
+        days, blobs = [], []
+        for d in np.unique(day):
+            regs = _hll_registers(users[day == d].astype(np.uint64))
+            days.append(str(d))
+            blobs.append(regs.tobytes())
+        return pa.table({
+            "day": pa.array(days, type=pa.string()),
+            "regs": pa.array(blobs, type=pa.binary()),
+        })
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        regs = np.zeros(len(np.frombuffer(g["regs"].iloc[0], dtype=np.uint8)),
+                        dtype=np.uint8)
+        for blob in g["regs"]:
+            np.maximum(regs, np.frombuffer(blob, dtype=np.uint8), out=regs)
+        return pa.table({
+            "day": pa.array([g["day"].iloc[0]], type=pa.string()),
+            "est_users": pa.array([int(round(hll_estimate(regs)))], type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("day")  # groups are few (days); per-key map_groups is fine
+        .map_groups(merge, batch_format="pandas")
+    )

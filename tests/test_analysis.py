@@ -285,3 +285,98 @@ def test_retention_matches_oracle(ray_session, tmp_path):
     assert g.loc["1970-01-01", "n_retained"] == 2  # users 1,3
     assert g.loc["1970-01-02", "n_retained"] == 1  # user 4
     assert g.loc["1970-01-08", "n_retained"] == 0
+
+
+# -------------------------------------------------- NTILE price deciles
+
+def test_price_deciles_matches_oracle_with_remainder(ray_session, tmp_path):
+    """n % k != 0 exercises the first-r-buckets-get-ceil rule."""
+    from deed_ocr_ray.pipelines.analysis import Q_PRICE_DECILES_SQL, q_price_deciles
+
+    rng = np.random.default_rng(7)
+    n = 1003  # 10 buckets: 3 of 101 rows, 7 of 100
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(n), type=pa.int64()),
+        "o_totalprice": pa.array(rng.uniform(1, 500_000, n).round(2),
+                                 type=pa.float64()),
+    })
+    _write(tmp_path, "orders", orders)
+    got = q_price_deciles(str(tmp_path)).to_pandas()
+    want = _oracle(tmp_path, Q_PRICE_DECILES_SQL, ["orders"])
+    assert _hash(got) == _hash(want)
+    sizes = got.sort_values("decile")["n"].tolist()
+    assert sizes == [101, 101, 101] + [100] * 7
+
+
+def test_price_deciles_ties_split_deterministically(ray_session, tmp_path):
+    """All-equal prices: bucket boundaries decided by o_orderkey only."""
+    from deed_ocr_ray.pipelines.analysis import Q_PRICE_DECILES_SQL, q_price_deciles
+
+    n = 25
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(n), type=pa.int64()),
+        "o_totalprice": pa.array([42.42] * n, type=pa.float64()),
+    })
+    _write(tmp_path, "orders", orders)
+    got = q_price_deciles(str(tmp_path)).to_pandas()
+    want = _oracle(tmp_path, Q_PRICE_DECILES_SQL, ["orders"])
+    assert _hash(got) == _hash(want)
+    assert got["n"].sum() == n
+
+
+# ------------------------------------------------- grouped percentiles
+
+def test_grouped_percentiles_matches_oracle(ray_session, tmp_path):
+    from deed_ocr_ray.pipelines.analysis import (
+        Q_GROUPED_PERCENTILES_SQL, q_grouped_percentiles)
+
+    rng = np.random.default_rng(11)
+    n = 997
+    li = pa.table({
+        "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n).tolist(),
+                                 type=pa.string()),
+        "l_quantity": pa.array(rng.integers(1, 51, n), type=pa.int64()),
+    })
+    _write(tmp_path, "lineitem", li)
+    got = q_grouped_percentiles(str(tmp_path)).to_pandas()
+    want = _oracle(tmp_path, Q_GROUPED_PERCENTILES_SQL, ["lineitem"])
+    assert _hash(got) == _hash(want)
+    assert len(got) == 3
+
+
+def test_grouped_percentiles_single_row_group(ray_session, tmp_path):
+    from deed_ocr_ray.pipelines.analysis import (
+        Q_GROUPED_PERCENTILES_SQL, q_grouped_percentiles)
+
+    li = pa.table({
+        "l_returnflag": pa.array(["A", "N", "N"], type=pa.string()),
+        "l_quantity": pa.array([7, 10, 20], type=pa.int64()),
+    })
+    _write(tmp_path, "lineitem", li)
+    got = q_grouped_percentiles(str(tmp_path)).to_pandas().set_index("l_returnflag")
+    want = _oracle(tmp_path, Q_GROUPED_PERCENTILES_SQL, ["lineitem"])
+    assert _hash(got.reset_index()) == _hash(want)
+    assert got.loc["A", "p50"] == 7.0       # single-row group: rank 0
+    assert got.loc["N", "p50"] == 15.0      # midpoint interpolation
+
+
+# --------------------------------------------------------- lang pivot
+
+def test_lang_pivot_matches_oracle(ray_session, tmp_path):
+    from deed_ocr_ray.pipelines.analysis import Q_LANG_PIVOT_SQL, q_lang_pivot
+
+    rng = np.random.default_rng(13)
+    n = 400
+    docs = pa.table({
+        "source": pa.array(rng.choice(["s0", "s1", "s2"], n).tolist(),
+                           type=pa.string()),
+        # 'zh' absent: the missing-language column must still exist as 0s
+        "lang": pa.array(rng.choice(["en", "de", "fr", "es"], n).tolist(),
+                         type=pa.string()),
+    })
+    _write(tmp_path, "documents", docs)
+    got = q_lang_pivot(str(tmp_path)).to_pandas()
+    want = _oracle(tmp_path, Q_LANG_PIVOT_SQL, ["documents"])
+    assert _hash(got) == _hash(want)
+    assert (got["zh"] == 0).all()
+    assert (got[["de", "en", "es", "fr", "zh"]].sum(axis=1) == got["total"]).all()

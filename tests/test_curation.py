@@ -81,3 +81,145 @@ def test_bit_length_bucket_matches_duckdb_bin():
     ).fetchall()
     for n, want in rows:
         assert max(n, 1).bit_length() == want, n
+
+
+# ---------------------------------- pipeline fixtures for the new ops
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(tmp_path, name, table):
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+
+
+def _oracle(tmp_path, sql, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tmp_path}/{t}.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def _hash(df):
+    df = df[sorted(df.columns)]
+    return sorted(repr(tuple(r)) for r in df.itertuples(index=False, name=None))
+
+
+# ------------------------------------------------ source mixture
+
+def test_source_mixture_matches_oracle(ray_session, tmp_path):
+    from deed_ocr_ray.pipelines.curation import Q_SOURCE_MIXTURE_SQL, q_source_mixture
+
+    rng = np.random.default_rng(3)
+    n = 800
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "source": pa.array(rng.choice([f"src{i}" for i in range(8)], n).tolist(),
+                           type=pa.string()),
+    })
+    _write(tmp_path, "documents", docs)
+    got = q_source_mixture(str(tmp_path)).to_pandas()
+    want = _oracle(tmp_path, Q_SOURCE_MIXTURE_SQL, ["documents"])
+    assert _hash(got) == _hash(want)
+    # src3 (weight 100) keeps everything; kept fraction tracks the weight
+    kept = got.groupby("source")["doc_id"].count()
+    total = pd.Series(docs["source"].to_pylist()).value_counts()
+    assert kept["src3"] == total["src3"]
+    assert kept["src0"] < total["src0"]  # weight 25
+
+
+def test_mixture_weight_rule():
+    from deed_ocr_ray.pipelines.curation import _mixture_weight_pct
+
+    assert _mixture_weight_pct("src0") == 25
+    assert _mixture_weight_pct("src1") == 50
+    assert _mixture_weight_pct("src2") == 75
+    assert _mixture_weight_pct("src3") == 100
+    assert _mixture_weight_pct("src4") == 25
+    assert _mixture_weight_pct("books") == 100  # unknown name: keep all
+
+
+# ------------------------------------------------ token budget
+
+def test_token_budget_matches_oracle_and_stops_at_budget(ray_session, tmp_path):
+    from deed_ocr_ray.pipelines.curation import q_token_budget, token_budget_sql
+
+    rng = np.random.default_rng(6)
+    n = 300
+    texts = [" ".join(["w"] * int(k)) + ("...!!" if i % 3 == 0 else "")
+             for i, k in enumerate(rng.integers(5, 60, n))]
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    _write(tmp_path, "documents", docs)
+    budget = 2000
+    got = q_token_budget(str(tmp_path), budget=budget).to_pandas()
+    want = _oracle(tmp_path, token_budget_sql(budget), ["documents"])
+    assert _hash(got) == _hash(want)
+    assert 0 < len(got) < n               # a strict subset was selected
+    assert got["cum_tokens"].max() <= budget
+    assert got["words"].sum() == got["cum_tokens"].max()
+
+
+def test_token_budget_boundary_inclusive(ray_session, tmp_path):
+    """A doc landing exactly ON the budget is kept; the next is cut."""
+    from deed_ocr_ray.pipelines.curation import q_token_budget
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["a b c", "d e f", "g h i"], type=pa.string()),
+    })
+    _write(tmp_path, "documents", docs)
+    got = q_token_budget(str(tmp_path), budget=6).to_pandas()
+    assert len(got) == 2 and got["cum_tokens"].tolist() == [3, 6]
+
+
+# ------------------------------------------------ decontamination
+
+def test_decontaminate_matches_oracle(ray_session, tmp_path):
+    from deed_ocr_ray.pipelines.curation import decontaminate_sql, q_decontaminate
+
+    rng = np.random.default_rng(8)
+    vocab = [f"t{i}" for i in range(30)]
+    texts = []
+    n = 160
+    for i in range(n):
+        toks = rng.choice(vocab, rng.integers(4, 25)).tolist()
+        texts.append(" ".join(toks))
+    # plant an exact 8-token leak from benchmark doc 0 into doc 17
+    leak = texts[0].split()[:8]
+    if len(leak) == 8:
+        texts[17] = texts[17] + " " + " ".join(leak)
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    _write(tmp_path, "documents", docs)
+    got = q_decontaminate(str(tmp_path), n=8, bench_mod=40).to_pandas()
+    want = _oracle(tmp_path, decontaminate_sql(8, 40), ["documents"])
+    assert _hash(got) == _hash(want)
+    assert (~got["doc_id"].isin(range(0, n, 40))).all()  # bench excluded
+    if len(leak) == 8:
+        assert bool(got.set_index("doc_id").loc[17, "contaminated"])
+
+
+def test_decontaminate_short_docs_emit_zero_gram_rows(ray_session, tmp_path):
+    from deed_ocr_ray.pipelines.curation import decontaminate_sql, q_decontaminate
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["a b c d e f g h i", "too short", "a b c d e f g h"],
+                         type=pa.string()),
+    })
+    _write(tmp_path, "documents", docs)
+    got = q_decontaminate(str(tmp_path), n=8, bench_mod=40).to_pandas()
+    want = _oracle(tmp_path, decontaminate_sql(8, 40), ["documents"])
+    assert _hash(got) == _hash(want)
+    g = got.set_index("doc_id")
+    assert g.loc[1, "n_grams"] == 0 and not g.loc[1, "contaminated"]
+    # doc 2's full 8-gram is a prefix-gram of bench doc 0
+    assert g.loc[2, "n_overlap"] == 1 and bool(g.loc[2, "contaminated"])

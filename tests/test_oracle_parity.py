@@ -54,6 +54,12 @@ PARITY = [
     ("domain_stats",),
     ("length_histogram",),
     ("term_stats",),
+    ("source_mixture",),
+    ("token_budget",),
+    ("decontaminate",),
+    ("grouped_percentiles",),
+    ("price_deciles",),
+    ("lang_pivot",),
 ]
 
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import duckdb
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -132,3 +133,34 @@ def test_heavy_hitters_audit_vs_exact(ray_session):
         assert est >= exact.get(term, 0), term
     top5 = set(exact.head(5).index)
     assert top5 <= set(got["term"]), (top5, set(got["term"]))
+
+
+# ------------------------------------------------- grouped HLL (DAU)
+
+def test_dau_hll_audit_vs_exact(ray_session, tmp_path):
+    """Per-day estimates within HLL error (~1.6% @ p=12; allow 5%),
+    and merge order must not matter (register max is commutative)."""
+    import pyarrow.parquet as pq
+
+    from deed_ocr_ray.pipelines.sketches import q_dau_hll
+
+    rng = np.random.default_rng(21)
+    day_us = 86_400_000_000
+    n = 40_000
+    days = rng.integers(0, 5, n)
+    users = rng.integers(0, 3_000, n)
+    events = pa.table({
+        "user_id": pa.array(users, type=pa.int64()),
+        "ts": pa.array((days * day_us + rng.integers(0, day_us, n)).astype("int64"),
+                       type=pa.timestamp("us")),
+    })
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+    got = q_dau_hll(str(tmp_path)).to_pandas().set_index("day")
+
+    df = pd.DataFrame({"day": days, "user": users}).drop_duplicates()
+    exact = df.groupby("day")["user"].nunique()
+    assert len(got) == 5
+    for d, exact_n in exact.items():
+        day_key = str(np.datetime64(int(d), "D"))
+        est = got.loc[day_key, "est_users"]
+        assert abs(est - exact_n) / exact_n < 0.05, (day_key, est, exact_n)
