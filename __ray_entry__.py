@@ -168,6 +168,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": windows.q_customers_no_orders,
         "asof_last_event": windows.q_asof_last_event,
         "range_join_events": windows.q_range_join_events,
+        "event_transitions": windows.q_event_transitions,
+        "customer_ltv": windows.q_customer_ltv,
         "price_quantiles": windows.q_price_quantiles,
         "sessionize": windows.q_sessionize,
         "moving_avg_dau": windows.q_moving_avg_dau,
@@ -201,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": analysis.q_tfidf_topk,
         "event_gaps": analysis.q_event_gaps,
         "revenue_rollup": analysis.q_revenue_rollup,
+        "revenue_cube": analysis.q_revenue_cube,
+        "token_rarity": analysis.q_token_rarity,
         "corr_qty_discount": analysis.q_corr_qty_discount,
         "quantity_percentiles": analysis.q_quantity_percentiles,
         "retention_7d": analysis.q_retention,
@@ -245,6 +249,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_no_orders": windows.Q_NO_ORDERS_SQL,
         "asof_last_event": windows.Q_ASOF_SQL,
         "range_join_events": windows.Q_RANGE_JOIN_SQL,
+        "event_transitions": windows.Q_EVENT_TRANSITIONS_SQL,
+        "customer_ltv": windows.Q_CUSTOMER_LTV_SQL,
         "price_quantiles": windows.Q_PRICE_QUANTILES_SQL,
         "sessionize": windows.Q_SESSIONIZE_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
@@ -286,6 +292,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": analysis.Q_TFIDF_TOPK_SQL,
         "event_gaps": analysis.Q_EVENT_GAPS_SQL,
         "revenue_rollup": analysis.Q_REVENUE_ROLLUP_SQL,
+        "revenue_cube": analysis.Q_REVENUE_CUBE_SQL,
+        "token_rarity": analysis.Q_TOKEN_RARITY_SQL,
         "corr_qty_discount": analysis.Q_CORR_QTY_DISCOUNT_SQL,
         "bloom_semijoin": sketches.Q_BLOOM_SEMIJOIN_SQL,
         "quantity_percentiles": analysis.Q_QUANTITY_PERCENTILES_SQL,

@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     "tfidf_topk",
     "bloom_semijoin",
     "heavy_hitters",
+    "decontaminate",
+    "price_deciles",
+    "token_rarity",
+    "customer_ltv",
 ]
 
 

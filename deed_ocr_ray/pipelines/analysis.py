@@ -352,18 +352,13 @@ SELECT event_id, user_id, CAST(e - prev_e AS BIGINT) AS gap_us FROM (
 
 # ---------------------------------------------- multi-grain ROLLUP
 
-def q_revenue_rollup(sf_dir: str) -> "ray.data.Dataset":
-    """Order revenue at three grains in one result — (region, nation),
-    (region, ALL), (ALL, ALL) — the GROUP BY ROLLUP analogue. The wide
-    work happens ONCE at the finest grain (broadcast nation/region
-    lookup + per-batch integer-cents partials + slim groupby, the
-    ``q_nation_revenue`` shape); the coarser grains are derived from
-    the finest aggregate (dimension-bounded, tiny) in a single-block
-    pass, never re-scanning the fact table. Columns: region, nation,
-    n_orders, revenue.
+def _fine_region_nation_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """Shared finest-grain aggregate for the multi-grain revenue ops:
+    broadcast nation/region lookup + per-batch integer-cents partials
+    + slim groupby (the ``q_nation_revenue`` shape). One row per
+    (region, nation) composite key ``rn`` with integer cents + count.
     """
 
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
     import ray as _ray
 
@@ -399,19 +394,28 @@ def q_revenue_rollup(sf_dir: str) -> "ray.data.Dataset":
         fn_constructor_args=(pair_ref, "o_custkey", "rn"),
         batch_format="pyarrow", concurrency=(1, 4),
     )
-    fine = partials.groupby("rn").aggregate(
+    return partials.groupby("rn").aggregate(
         Sum("price_c_sum", alias_name="cents"),
         Sum("price_c_count", alias_name="n_orders"),
     )
 
-    def rollup(t: pa.Table) -> pa.Table:
+
+def _grain_expand(fine: "ray.data.Dataset", grains) -> "ray.data.Dataset":
+    """Fan each finest-grain row out to its coarser grain keys and fold
+    — the dimension-bounded (tiny) single-block tail shared by ROLLUP
+    and CUBE. ``grains(region, nation)`` yields the output keys each
+    fine row contributes to."""
+
+    import pyarrow.compute as pc
+
+    def expand(t: pa.Table) -> pa.Table:
         # _KeyedLookupPartial's miss default is a bare "UNKNOWN": pad
         pairs = [(s.split("\x1f") + ["UNKNOWN"])[:2] for s in t["rn"].to_pylist()]
         cents = t["cents"].to_pylist()
         cnt = t["n_orders"].to_pylist()
         rows: dict = {}
         for (r, nm), c, k in zip(pairs, cents, cnt):
-            for key in ((r, nm), (r, "ALL"), ("ALL", "ALL")):
+            for key in grains(r, nm):
                 acc = rows.setdefault(key, [0, 0])
                 acc[0] += c
                 acc[1] += k
@@ -424,8 +428,22 @@ def q_revenue_rollup(sf_dir: str) -> "ray.data.Dataset":
                 pa.array([float(rows[k][0]) for k in keys], type=pa.float64()), 100.0),
         })
 
-    return fine.repartition(1).map_batches(rollup, batch_format="pyarrow",
+    return fine.repartition(1).map_batches(expand, batch_format="pyarrow",
                                            batch_size=None)
+
+
+def q_revenue_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """Order revenue at three grains in one result — (region, nation),
+    (region, ALL), (ALL, ALL) — the GROUP BY ROLLUP analogue. The wide
+    work happens ONCE at the finest grain; the coarser grains are
+    derived from the finest aggregate (dimension-bounded, tiny) in a
+    single-block pass, never re-scanning the fact table. Columns:
+    region, nation, n_orders, revenue.
+    """
+    return _grain_expand(
+        _fine_region_nation_revenue(sf_dir),
+        lambda r, nm: ((r, nm), (r, "ALL"), ("ALL", "ALL")),
+    )
 
 
 Q_REVENUE_ROLLUP_SQL = """
@@ -910,3 +928,127 @@ SELECT source,
        CAST(COUNT(*) AS BIGINT) AS total
 FROM documents GROUP BY 1
 """
+
+
+# ---------------------------------------------------------- CUBE grains
+
+def q_revenue_cube(sf_dir: str) -> "ray.data.Dataset":
+    """GROUP BY CUBE(region, nation): all four grains — (region,
+    nation), (region, ALL), (ALL, nation), (ALL, ALL) — from ONE scan
+    of the fact table, sharing [[q_revenue_rollup]]'s finest-grain
+    aggregate and tiny single-block grain expansion. The extra grain
+    vs ROLLUP, (ALL, nation), costs nothing at scale: it is derived
+    from the dimension-bounded fine aggregate, not the fact table.
+    Columns: region, nation, n_orders, revenue.
+    """
+    return _grain_expand(
+        _fine_region_nation_revenue(sf_dir),
+        lambda r, nm: ((r, nm), (r, "ALL"), ("ALL", nm), ("ALL", "ALL")),
+    )
+
+
+Q_REVENUE_CUBE_SQL = """
+SELECT COALESCE(r.r_name, 'ALL') AS region,
+       COALESCE(n.n_name, 'ALL') AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)/100 AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY CUBE(r.r_name, n.n_name)
+"""
+
+
+# -------------------------------------------------------- token rarity
+
+RARE_MAX = 2  # a token is "rare" if its corpus-wide count is <= this
+
+
+def q_token_rarity(sf_dir: str, rare_max: int = RARE_MAX) -> "ray.data.Dataset":
+    """Per-document token rarity against CORPUS-GLOBAL unigram counts —
+    the CCNet-style "how ordinary is this document's vocabulary"
+    signal, kept integer-exact so the oracle hash matches bit-for-bit:
+    per doc, the total popularity mass (sum over token OCCURRENCES of
+    each token's global count) and the number of rare occurrences
+    (global count <= ``rare_max``).
+
+    The global count table is corpus-scale (NOT broadcastable —
+    contrast [[q_decontaminate]]'s small fixed benchmark side), so the
+    op uses the [[q_dup_ngram_coverage]] two-coarse-shuffle shape with
+    per-doc partials as the combiner:
+
+    1. explode to slim (doc_id, tok) rows, shuffle on
+       ``hash(tok) % P`` — all occurrences of a token co-locate, so
+       the in-partition count IS the global count; fold each
+       partition's occurrences to per-doc partial sums right there
+       (docs × partitions rows leave, not occurrences);
+    2. one slim groupby on doc_id sums the partials.
+
+    Tokenization is single-space split of the trimmed text,
+    bit-identical to DuckDB ``string_split(trim(text), ' ')`` (empty
+    text yields one empty-string token on both sides).
+    Columns: doc_id, n_tokens, rarity_mass, n_rare.
+    """
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids: list = []
+        toks: list = []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ts = text.strip().split(" ")
+            doc_ids.extend([did] * len(ts))
+            toks.extend(ts)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "tok": pa.array(toks, type=pa.string()),
+            "part": pa.array(_hash_part(toks), type=pa.int32()),
+        })
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        cnt = g["tok"].map(g["tok"].value_counts())  # global: co-located
+        df = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "mass": cnt.to_numpy().astype(np.int64),
+            "rare": (cnt.to_numpy() <= rare_max).astype(np.int64),
+        })
+        p = df.groupby("doc_id", sort=False).agg(
+            n_tokens=("mass", "size"), rarity_mass=("mass", "sum"),
+            n_rare=("rare", "sum"))
+        return pa.table({
+            "doc_id": pa.array(p.index.to_numpy(), type=pa.int64()),
+            "n_tokens": pa.array(p["n_tokens"].to_numpy().astype(np.int64),
+                                 type=pa.int64()),
+            "rarity_mass": pa.array(p["rarity_mass"].to_numpy(), type=pa.int64()),
+            "n_rare": pa.array(p["n_rare"].to_numpy(), type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                   Sum("rarity_mass", alias_name="rarity_mass"),
+                   Sum("n_rare", alias_name="n_rare"))
+    )
+
+
+def token_rarity_sql(rare_max: int = RARE_MAX) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents
+),
+cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(c) AS BIGINT) AS rarity_mass,
+       CAST(SUM(CASE WHEN c <= {int(rare_max)} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+FROM toks t JOIN cnt USING (tok)
+GROUP BY 1
+"""
+
+
+Q_TOKEN_RARITY_SQL = token_rarity_sql()

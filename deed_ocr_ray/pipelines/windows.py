@@ -601,3 +601,151 @@ FROM orders o
 
 
 Q_RANGE_JOIN_SQL = range_join_events_sql()
+
+
+# -------------------------------------------------- event transitions
+
+def q_event_transitions(sf_dir: str) -> "ray.data.Dataset":
+    """Markov transition counts over each user's ordered event stream —
+    LEAD() per user then a (src, dst) count, the funnel/clickstream
+    matrix every product-analytics pipeline computes. One coarse
+    shuffle on ``user_id % N_PARTS`` co-locates each user's events;
+    inside the partition the per-user LEAD is one vectorized shift over
+    the (user_id, ts, event_id)-sorted frame (NO per-user loop), and a
+    pandas crosstab folds the partition's pairs so only
+    |event_types|² × partitions slim rows reach the final groupby.
+    Columns: src, dst, n.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "part": pc.cast(pc.bit_wise_and(t["user_id"], N_PARTS - 1), pa.int32()),
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+        })
+
+    def transitions(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = np.empty(len(g), dtype=bool)
+        if len(g):
+            same[:-1] = uid[:-1] == uid[1:]
+            same[-1] = False
+        src = et[:-1][same[:-1]] if len(g) else et[:0]
+        dst = et[1:][same[:-1]] if len(g) else et[:0]
+        pairs = pd.DataFrame({"src": src, "dst": dst})
+        cnt = pairs.groupby(["src", "dst"], sort=True).size().reset_index(name="n")
+        return pa.table({
+            "src": pa.array(cnt["src"].tolist(), type=pa.string()),
+            "dst": pa.array(cnt["dst"].tolist(), type=pa.string()),
+            "n": pa.array(cnt["n"].to_numpy().astype(np.int64), type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(transitions, batch_format="pandas")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+Q_EVENT_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------- left-outer join (LTV)
+
+def q_customer_ltv(sf_dir: str) -> "ray.data.Dataset":
+    """Customer lifetime value with zero-fill — the LEFT OUTER join
+    shape (anti-join keeps only the misses; this keeps BOTH sides).
+    The fact table is pre-aggregated per batch then per key, so the
+    join's right side is one slim row per purchasing customer: the
+    shuffle moves |customers-with-orders| rows, never |orders|.
+    Money stays integer cents until the end. Columns: c_custkey,
+    c_name, n_orders, ltv_cents.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .dedup import _coalesce_for_join, _join_parts_for
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        df = pd.DataFrame({"k": t["o_custkey"].to_numpy(),
+                           "c": cents.to_numpy()})
+        g = df.groupby("k", sort=False)["c"].agg(["size", "sum"])
+        return pa.table({
+            "o_custkey": pa.array(g.index.to_numpy(), type=pa.int64()),
+            "n_orders": pa.array(g["size"].to_numpy().astype(np.int64),
+                                 type=pa.int64()),
+            "cents": pa.array(g["sum"].to_numpy().astype(np.int64),
+                              type=pa.int64()),
+        })
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("cents", alias_name="cents"))
+    )
+    # right side passed through a groupby: guard the empty-first-block
+    # schema-broadcast landmine (see dedup._coalesce_for_join)
+    agg, n_agg = _coalesce_for_join(agg)
+    joined = cust.join(
+        agg, join_type="left_outer",
+        num_partitions=_join_parts_for(n_agg),
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def zero_fill(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["c_custkey"],
+            "c_name": t["c_name"],
+            "n_orders": pc.coalesce(t["n_orders"], pa.scalar(0, pa.int64())),
+            "ltv_cents": pc.coalesce(t["cents"], pa.scalar(0, pa.int64())),
+        })
+
+    return joined.map_batches(zero_fill, batch_format="pyarrow")
+
+
+Q_CUSTOMER_LTV_SQL = """
+SELECT c.c_custkey, c.c_name,
+       COALESCE(o.n, 0) AS n_orders,
+       COALESCE(o.cents, 0) AS ltv_cents
+FROM customer c
+LEFT JOIN (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+) o ON c.c_custkey = o.o_custkey
+"""

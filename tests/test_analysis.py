@@ -380,3 +380,83 @@ def test_lang_pivot_matches_oracle(ray_session, tmp_path):
     assert _hash(got) == _hash(want)
     assert (got["zh"] == 0).all()
     assert (got[["de", "en", "es", "fr", "zh"]].sum(axis=1) == got["total"]).all()
+
+
+# ------------------------------------------------------- revenue cube
+
+def test_revenue_cube_matches_oracle_and_extends_rollup(ray_session, tmp_path):
+    from deed_ocr_ray.pipelines.analysis import Q_REVENUE_CUBE_SQL, q_revenue_cube
+
+    region = pa.table({
+        "r_regionkey": pa.array([0, 1], type=pa.int64()),
+        "r_name": pa.array(["EAST", "WEST"], type=pa.string()),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array([0, 1, 2], type=pa.int64()),
+        "n_name": pa.array(["AAA", "BBB", "CCC"], type=pa.string()),
+        "n_regionkey": pa.array([0, 0, 1], type=pa.int64()),
+    })
+    customer = pa.table({
+        "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+        "c_nationkey": pa.array([0, 1, 2], type=pa.int64()),
+    })
+    orders = pa.table({
+        "o_custkey": pa.array([1, 1, 2, 3], type=pa.int64()),
+        "o_totalprice": pa.array([10.005, 20.0, 30.0, 40.0], type=pa.float64()),
+    })
+    for n, t in (("region", region), ("nation", nation),
+                 ("customer", customer), ("orders", orders)):
+        _write(tmp_path, n, t)
+    got = q_revenue_cube(str(tmp_path)).to_pandas()
+    want = _oracle(tmp_path, Q_REVENUE_CUBE_SQL,
+                   ["region", "nation", "customer", "orders"])
+    assert _hash(got) == _hash(want)
+    # the grain ROLLUP lacks: (ALL, nation) — one row per nation
+    all_nation = got[(got["region"] == "ALL") & (got["nation"] != "ALL")]
+    assert set(all_nation["nation"]) == {"AAA", "BBB", "CCC"}
+    # grand total counted once
+    grand = got[(got["region"] == "ALL") & (got["nation"] == "ALL")]
+    assert grand["n_orders"].tolist() == [4]
+
+
+# ------------------------------------------------------ token rarity
+
+def test_token_rarity_matches_oracle(ray_session, tmp_path):
+    from deed_ocr_ray.pipelines.analysis import q_token_rarity, token_rarity_sql
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "the cat sat",          # 'the' appears 3x globally
+            "the dog ran fast",
+            "the cat unique",       # 'unique' appears once -> rare
+            "",                     # empty text -> one '' token
+        ], type=pa.string()),
+    })
+    _write(tmp_path, "documents", docs)
+    got = q_token_rarity(str(tmp_path), rare_max=1).to_pandas()
+    want = _oracle(tmp_path, token_rarity_sql(1), ["documents"])
+    assert _hash(got) == _hash(want)
+    by = got.set_index("doc_id")
+    # doc 0: the(3) + cat(2) + sat(1) -> mass 6, rare 1 (sat)
+    assert by.loc[0, "rarity_mass"] == 6 and by.loc[0, "n_rare"] == 1
+    assert by.loc[3, "n_tokens"] == 1   # '' counts as one token both sides
+
+
+def test_token_rarity_counts_occurrences_not_types(ray_session, tmp_path):
+    """Repeated token inside ONE doc: every occurrence adds the global
+    count to the mass (occurrence semantics, not distinct-type)."""
+    from deed_ocr_ray.pipelines.analysis import q_token_rarity, token_rarity_sql
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["go go go", "go stop"], type=pa.string()),
+    })
+    _write(tmp_path, "documents", docs)
+    got = q_token_rarity(str(tmp_path), rare_max=1).to_pandas()
+    want = _oracle(tmp_path, token_rarity_sql(1), ["documents"])
+    assert _hash(got) == _hash(want)
+    by = got.set_index("doc_id")
+    assert by.loc[0, "rarity_mass"] == 12   # 3 occurrences x global 4
+    assert by.loc[1, "rarity_mass"] == 5    # go(4) + stop(1)
+    assert by.loc[1, "n_rare"] == 1

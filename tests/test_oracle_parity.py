@@ -60,6 +60,10 @@ PARITY = [
     ("grouped_percentiles",),
     ("price_deciles",),
     ("lang_pivot",),
+    ("event_transitions",),
+    ("customer_ltv",),
+    ("revenue_cube",),
+    ("token_rarity",),
 ]
 
 

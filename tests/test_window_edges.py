@@ -154,3 +154,70 @@ def test_doc_normalize_watermark_branch(ray_session, crafted_docs_dir):
     assert normalize_text("partial UNO fragment and UNOwned words") == \
         "partial fragment and wned words"  # bare-UNO replace is observable
     assert normalize_text("UNO") == ""
+
+
+# ------------------------------------------------- event transitions
+
+def test_event_transitions_tie_order_and_user_boundary(ray_session, tmp_path):
+    """Ties on ts break by event_id; no transition crosses users;
+    single-event users emit nothing."""
+    from deed_ocr_ray.pipelines import windows
+
+    rows = [
+        # user 1: a -> b (tie at T0, ordered by event_id) -> c
+        (1, 1, T0, "a"), (2, 1, T0, "b"), (3, 1, T0 + MIN, "c"),
+        # user 2: singleton, no transitions
+        (4, 2, T0, "z"),
+        # user 3: c -> a  (would wrongly chain into user 1 if the
+        # boundary mask were missing)
+        (5, 3, T0, "c"), (6, 3, T0 + MIN, "a"),
+    ]
+    events = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+        "value": pa.array([1.0] * len(rows), type=pa.float64()),
+        "props": pa.array(["{}"] * len(rows), type=pa.string()),
+    })
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+
+    got = _canon(windows.q_event_transitions(str(tmp_path)).to_pandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    want = _canon(con.execute(windows.Q_EVENT_TRANSITIONS_SQL).fetchdf())
+    pd.testing.assert_frame_equal(got, want)
+    pairs = {(r.src, r.dst): r.n for r in got.itertuples()}
+    assert pairs == {("a", "b"): 1, ("b", "c"): 1, ("c", "a"): 1}
+
+
+# ------------------------------------------------ customer LTV (left join)
+
+def test_customer_ltv_zero_fill_and_rounding(ray_session, tmp_path):
+    """Customers with no orders appear with 0/0; half-cent prices round
+    away from zero like the oracle."""
+    from deed_ocr_ray.pipelines import windows
+
+    cust = pa.table({
+        "c_custkey": pa.array([1, 2, 3], type=pa.int64()),
+        "c_name": pa.array(["one", "two", "three"], type=pa.string()),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array([10, 11, 12], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 3], type=pa.int64()),
+        "o_totalprice": pa.array([100.005, 0.004, 99.995], type=pa.float64()),
+    })
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+
+    got = _canon(windows.q_customer_ltv(str(tmp_path)).to_pandas())
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    want = _canon(con.execute(windows.Q_CUSTOMER_LTV_SQL).fetchdf())
+    pd.testing.assert_frame_equal(got, want)
+    by = got.set_index("c_custkey")
+    assert by.loc[2, "n_orders"] == 0 and by.loc[2, "ltv_cents"] == 0
+    assert by.loc[1, "n_orders"] == 2
