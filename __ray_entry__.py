@@ -166,8 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": windows.q_running_total,
         "order_rank": windows.q_order_rank,
         "customers_no_orders": windows.q_customers_no_orders,
-        "asof_last_event": windows.q_asof_last_event,
-        "range_join_events": windows.q_range_join_events,
+        "asof_last_ship": windows.q_asof_last_ship,
+        "range_join_ship": windows.q_range_join_ship,
         "event_transitions": windows.q_event_transitions,
         "customer_ltv": windows.q_customer_ltv,
         "price_quantiles": windows.q_price_quantiles,
@@ -247,8 +247,8 @@ def oracle_sql() -> dict[str, str]:
         "running_total": windows.Q_RUNNING_TOTAL_SQL,
         "order_rank": windows.Q_ORDER_RANK_SQL,
         "customers_no_orders": windows.Q_NO_ORDERS_SQL,
-        "asof_last_event": windows.Q_ASOF_SQL,
-        "range_join_events": windows.Q_RANGE_JOIN_SQL,
+        "asof_last_ship": windows.Q_ASOF_SQL,
+        "range_join_ship": windows.Q_RANGE_JOIN_SQL,
         "event_transitions": windows.Q_EVENT_TRANSITIONS_SQL,
         "customer_ltv": windows.Q_CUSTOMER_LTV_SQL,
         "price_quantiles": windows.Q_PRICE_QUANTILES_SQL,

@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     "region_part_revenue",
     "events_hourly",
     "running_total",
-    "asof_last_event",
+    "asof_last_ship",
     "sessionize",
     "token_count",
     "quality_score",

@@ -174,45 +174,53 @@ WHERE c_custkey NOT IN
 
 # ------------------------------------------------------------- as-of join
 
-def q_asof_last_event(sf_dir: str) -> "ray.data.Dataset":
+ASOF_PROBE_DAYS = 60  # fulfillment probe: shipped within 60 days?
+
+
+def q_asof_last_ship(sf_dir: str, probe_days: int = ASOF_PROBE_DAYS) -> "ray.data.Dataset":
     """As-of join (Ray Data has no primitive): for each order, the
-    latest events.ts with user_id = o_custkey and ts <= o_orderdate,
-    plus the count of such events. Both tables are tagged into one
-    common-schema stream, co-partitioned by key, and resolved per
-    partition with numpy searchsorted over the sorted event timeline.
-    Columns: o_orderkey, last_event_ts, n_events_before."""
+    latest shipment (``lineitem.l_shipdate``) of that order at or
+    before ``o_orderdate + probe_days``, plus the count of lineitems
+    shipped by then — the "fulfillment status as of day N" probe.
+    Both tables are tagged into one common-schema stream,
+    co-partitioned by ``o_orderkey``, and resolved per partition with
+    numpy searchsorted over the sorted shipment timeline. (Earlier
+    rounds probed orders against ``events``, but the testdata's order
+    dates (1995–2001) and event timestamps (2024) never overlap, so
+    every output was the vacuous 0/NaT row and the oracle gate proved
+    nothing; shipments genuinely interleave with the probe window.)
+    Columns: o_orderkey, last_ship_ts, n_shipped."""
+    delta = np.timedelta64(probe_days * 86_400_000_000, "us")
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        columns=["o_orderkey", "o_orderdate"],
     )
-    events = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ships = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
     )
 
     def tag_orders(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         return pa.table({
-            "part": pc.cast(pc.bit_wise_and(t["o_custkey"], N_PARTS - 1), pa.int32()),
-            "key": pc.cast(t["o_custkey"], pa.int64()),
+            "part": pc.cast(pc.bit_wise_and(t["o_orderkey"], N_PARTS - 1), pa.int32()),
+            "key": pc.cast(t["o_orderkey"], pa.int64()),
             "ts": t["o_orderdate"],
-            "o_orderkey": t["o_orderkey"],
             "side": pa.array([0] * t.num_rows, type=pa.int8()),
         })
 
-    def tag_events(t: pa.Table) -> pa.Table:
+    def tag_ships(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         return pa.table({
-            "part": pc.cast(pc.bit_wise_and(t["user_id"], N_PARTS - 1), pa.int32()),
-            "key": pc.cast(t["user_id"], pa.int64()),
-            "ts": t["ts"],
-            "o_orderkey": pa.array([0] * t.num_rows, type=pa.int64()),
+            "part": pc.cast(pc.bit_wise_and(t["l_orderkey"], N_PARTS - 1), pa.int32()),
+            "key": pc.cast(t["l_orderkey"], pa.int64()),
+            "ts": t["l_shipdate"],
             "side": pa.array([1] * t.num_rows, type=pa.int8()),
         })
 
     both = orders.map_batches(tag_orders, batch_format="pyarrow").union(
-        events.map_batches(tag_events, batch_format="pyarrow")
+        ships.map_batches(tag_ships, batch_format="pyarrow")
     )
 
     def asof(g: pd.DataFrame) -> pa.Table:
@@ -225,7 +233,7 @@ def q_asof_last_event(sf_dir: str) -> "ray.data.Dataset":
         okeys, lasts, counts = [], [], []
         for k, sub in left.groupby("key", sort=False):
             tl = timelines.get(k)
-            ots = sub["ts"].to_numpy()
+            ots = sub["ts"].to_numpy() + delta
             if tl is None or len(tl) == 0:
                 idx = np.zeros(len(sub), dtype=np.int64)
                 last = np.full(len(sub), np.datetime64("NaT", "us"))
@@ -233,34 +241,42 @@ def q_asof_last_event(sf_dir: str) -> "ray.data.Dataset":
                 idx = np.searchsorted(tl, ots, side="right")
                 last = np.where(idx > 0, tl[np.maximum(idx - 1, 0)],
                                 np.datetime64("NaT", "us"))
-            okeys.append(sub["o_orderkey"].to_numpy())
+            okeys.append(sub["key"].to_numpy())
             lasts.append(last.astype("datetime64[us]"))
             counts.append(idx)
         if not okeys:
             return pa.table({
                 "o_orderkey": pa.array([], type=pa.int64()),
-                "last_event_ts": pa.array([], type=pa.timestamp("us")),
-                "n_events_before": pa.array([], type=pa.int64()),
+                "last_ship_ts": pa.array([], type=pa.timestamp("us")),
+                "n_shipped": pa.array([], type=pa.int64()),
             })
         return pa.table({
             "o_orderkey": pa.array(np.concatenate(okeys), type=pa.int64()),
-            "last_event_ts": pa.Array.from_pandas(
+            "last_ship_ts": pa.Array.from_pandas(
                 pd.Series(np.concatenate(lasts)), type=pa.timestamp("us")
             ),
-            "n_events_before": pa.array(np.concatenate(counts), type=pa.int64()),
+            "n_shipped": pa.array(np.concatenate(counts), type=pa.int64()),
         })
 
     return both.groupby("part").map_groups(asof, batch_format="pandas")
 
 
-Q_ASOF_SQL = """
+def asof_last_ship_sql(probe_days: int = ASOF_PROBE_DAYS) -> str:
+    return f"""
 SELECT o.o_orderkey AS o_orderkey,
-       (SELECT max(e.ts) FROM events e
-         WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate) AS last_event_ts,
-       (SELECT count(*) FROM events e
-         WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate) AS n_events_before
+       (SELECT max(l.l_shipdate) FROM lineitem l
+         WHERE l.l_orderkey = o.o_orderkey
+           AND l.l_shipdate <= o.o_orderdate + INTERVAL {int(probe_days)} DAY)
+           AS last_ship_ts,
+       (SELECT count(*) FROM lineitem l
+         WHERE l.l_orderkey = o.o_orderkey
+           AND l.l_shipdate <= o.o_orderdate + INTERVAL {int(probe_days)} DAY)
+           AS n_shipped
 FROM orders o
 """
+
+
+Q_ASOF_SQL = asof_last_ship_sql()
 
 
 # ------------------------------------------------------- grouped quantiles
@@ -495,54 +511,55 @@ def q_price_quantile_sketch(sf_dir: str) -> "ray.data.Dataset":
 
 # ------------------------------------------------------------- range join
 
-RANGE_DAYS = 7
+RANGE_DAYS = 90
 
 
-def q_range_join_events(sf_dir: str, days: int = RANGE_DAYS) -> "ray.data.Dataset":
+def q_range_join_ship(sf_dir: str, days: int = RANGE_DAYS) -> "ray.data.Dataset":
     """Range join (Ray Data has no primitive): for each order, the count
-    and first timestamp of events with ``user_id = o_custkey`` and
-    ``ts ∈ [o_orderdate, o_orderdate + days)``. Same shape as the as-of
+    and first timestamp of its shipments with ``l_shipdate ∈
+    [o_orderdate, o_orderdate + days)``. Same shape as the as-of
     join: both tables tagged into one common-schema stream,
-    co-partitioned on the key, range resolved per partition with TWO
-    ``searchsorted`` probes over each key's sorted event timeline.
-    Range aggregates are chosen exact (count + min-ts) so the DuckDB
-    oracle hashes bit-identically — a float SUM over the range would
-    depend on accumulation order. Partitioning assumption: a single
-    key's event timeline fits one partition (salt hot keys beyond
-    that). Columns: o_orderkey, n_events_7d, first_event_ts."""
+    co-partitioned on ``o_orderkey``, range resolved per partition with
+    TWO ``searchsorted`` probes over each key's sorted shipment
+    timeline. Range aggregates are chosen exact (count + min-ts) so the
+    DuckDB oracle hashes bit-identically — a float SUM over the range
+    would depend on accumulation order. Partitioning assumption: a
+    single key's timeline fits one partition (salt hot keys beyond
+    that). (Earlier rounds ranged orders against ``events``, whose 2024
+    timestamps never intersect the 1995–2001 order dates — vacuously
+    zero output; see ``q_asof_last_ship``.)
+    Columns: o_orderkey, n_ship_window, first_ship_ts."""
     delta = np.timedelta64(days * 86_400_000_000, "us")
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        columns=["o_orderkey", "o_orderdate"],
     )
-    events = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    ships = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
     )
 
     def tag_orders(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         return pa.table({
-            "part": pc.cast(pc.bit_wise_and(t["o_custkey"], N_PARTS - 1), pa.int32()),
-            "key": pc.cast(t["o_custkey"], pa.int64()),
+            "part": pc.cast(pc.bit_wise_and(t["o_orderkey"], N_PARTS - 1), pa.int32()),
+            "key": pc.cast(t["o_orderkey"], pa.int64()),
             "ts": t["o_orderdate"],
-            "o_orderkey": t["o_orderkey"],
             "side": pa.array([0] * t.num_rows, type=pa.int8()),
         })
 
-    def tag_events(t: pa.Table) -> pa.Table:
+    def tag_ships(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         return pa.table({
-            "part": pc.cast(pc.bit_wise_and(t["user_id"], N_PARTS - 1), pa.int32()),
-            "key": pc.cast(t["user_id"], pa.int64()),
-            "ts": t["ts"],
-            "o_orderkey": pa.array([0] * t.num_rows, type=pa.int64()),
+            "part": pc.cast(pc.bit_wise_and(t["l_orderkey"], N_PARTS - 1), pa.int32()),
+            "key": pc.cast(t["l_orderkey"], pa.int64()),
+            "ts": t["l_shipdate"],
             "side": pa.array([1] * t.num_rows, type=pa.int8()),
         })
 
     both = orders.map_batches(tag_orders, batch_format="pyarrow").union(
-        events.map_batches(tag_events, batch_format="pyarrow")
+        ships.map_batches(tag_ships, batch_format="pyarrow")
     )
 
     def ranged(g: pd.DataFrame) -> pa.Table:
@@ -565,19 +582,19 @@ def q_range_join_events(sf_dir: str, days: int = RANGE_DAYS) -> "ray.data.Datase
                 cnt = (hi - lo).astype(np.int64)
                 first = np.where(cnt > 0, tl[np.minimum(lo, len(tl) - 1)],
                                  np.datetime64("NaT", "us"))
-            okeys.append(sub["o_orderkey"].to_numpy())
+            okeys.append(sub["key"].to_numpy())
             counts.append(cnt)
             firsts.append(first.astype("datetime64[us]"))
         if not okeys:
             return pa.table({
                 "o_orderkey": pa.array([], type=pa.int64()),
-                "n_events_7d": pa.array([], type=pa.int64()),
-                "first_event_ts": pa.array([], type=pa.timestamp("us")),
+                "n_ship_window": pa.array([], type=pa.int64()),
+                "first_ship_ts": pa.array([], type=pa.timestamp("us")),
             })
         return pa.table({
             "o_orderkey": pa.array(np.concatenate(okeys), type=pa.int64()),
-            "n_events_7d": pa.array(np.concatenate(counts), type=pa.int64()),
-            "first_event_ts": pa.Array.from_pandas(
+            "n_ship_window": pa.array(np.concatenate(counts), type=pa.int64()),
+            "first_ship_ts": pa.Array.from_pandas(
                 pd.Series(np.concatenate(firsts)), type=pa.timestamp("us")
             ),
         })
@@ -585,22 +602,24 @@ def q_range_join_events(sf_dir: str, days: int = RANGE_DAYS) -> "ray.data.Datase
     return both.groupby("part").map_groups(ranged, batch_format="pandas")
 
 
-def range_join_events_sql(days: int = RANGE_DAYS) -> str:
+def range_join_ship_sql(days: int = RANGE_DAYS) -> str:
     return f"""
 SELECT o.o_orderkey AS o_orderkey,
-       (SELECT count(*) FROM events e
-         WHERE e.user_id = o.o_custkey
-           AND e.ts >= o.o_orderdate
-           AND e.ts < o.o_orderdate + INTERVAL {int(days)} DAY) AS n_events_7d,
-       (SELECT min(e.ts) FROM events e
-         WHERE e.user_id = o.o_custkey
-           AND e.ts >= o.o_orderdate
-           AND e.ts < o.o_orderdate + INTERVAL {int(days)} DAY) AS first_event_ts
+       (SELECT count(*) FROM lineitem l
+         WHERE l.l_orderkey = o.o_orderkey
+           AND l.l_shipdate >= o.o_orderdate
+           AND l.l_shipdate < o.o_orderdate + INTERVAL {int(days)} DAY)
+           AS n_ship_window,
+       (SELECT min(l.l_shipdate) FROM lineitem l
+         WHERE l.l_orderkey = o.o_orderkey
+           AND l.l_shipdate >= o.o_orderdate
+           AND l.l_shipdate < o.o_orderdate + INTERVAL {int(days)} DAY)
+           AS first_ship_ts
 FROM orders o
 """
 
 
-Q_RANGE_JOIN_SQL = range_join_events_sql()
+Q_RANGE_JOIN_SQL = range_join_ship_sql()
 
 
 # -------------------------------------------------- event transitions

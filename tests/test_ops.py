@@ -534,3 +534,18 @@ def test_neardup_clusters_match_union_find(ray_session, tmp_path):
     assert got_map == want
     # every rep is its own rep; singletons absent from the output
     assert all(got_map[r] == r for r in set(want.values()))
+
+
+def test_bpe_and_ws_tokenizers_differ_on_punctuation():
+    """The sf testdata is pure space-separated words, so token_count and
+    token_count_bpe coincide there (their gate hashes collide —
+    genuinely). Pin the distinction on punctuated text: the BPE-ish
+    regex splits trailing punctuation into its own token."""
+    from deed_ocr_ray.pipelines.textops import _BPE_RE
+
+    text = "Hello, world! It's 42 degrees."
+    ws = len(text.split())                 # 5
+    bpe = len(_BPE_RE.findall(text))       # punctuation + digit splits
+    assert ws == 5
+    assert bpe == 10
+    assert bpe != ws

@@ -36,7 +36,7 @@ PARITY = [
     ("running_total",),
     ("order_rank",),
     ("customers_no_orders",),
-    ("asof_last_event",),
+    ("asof_last_ship",),
     ("token_count_bpe",),
     ("top_terms",),
     ("doc_sample",),
@@ -47,7 +47,7 @@ PARITY = [
     ("pack_windows",),
     ("corpus_filter",),
     ("daily_active_users",),
-    ("range_join_events",),
+    ("range_join_ship",),
     ("stratified_split",),
     ("split_stats",),
     ("pii_redact",),

@@ -84,18 +84,86 @@ def test_sessionize_tie_and_boundary_semantics(ray_session, crafted_dir):
     assert list(u1["n_events"]) == [3, 1]
 
 
-def test_asof_includes_exact_tie_and_handles_no_match(ray_session, crafted_dir):
+@pytest.fixture(scope="module")
+def crafted_ship_dir(tmp_path_factory):
+    """Orders + lineitem shipments around the 60-day as-of probe and
+    the 90-day range window: exact boundary instants, an order with no
+    lineitems, and a same-instant shipment tie."""
+    d = tmp_path_factory.mktemp("crafted_ship")
+    DAY = dt.timedelta(days=1)
+    orows = [(10, T0), (11, T0), (12, T0), (13, T0)]
+    orders = pa.table({
+        "o_orderkey": pa.array([r[0] for r in orows], type=pa.int64()),
+        "o_custkey": pa.array([1] * len(orows), type=pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(orows), type=pa.string()),
+        "o_totalprice": pa.array([10.0] * len(orows), type=pa.float64()),
+        "o_orderdate": pa.array([r[1] for r in orows], type=pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * len(orows), type=pa.string()),
+    })
+    lrows = [
+        # order 10: ship exactly AT +60d (asof includes), +60d+1us (excluded),
+        # and exactly AT +90d (range EXCLUDES the half-open end)
+        (10, T0 + 60 * DAY), (10, T0 + 60 * DAY + US), (10, T0 + 90 * DAY),
+        # order 11: same-instant double shipment before the probe
+        (11, T0 + 5 * DAY), (11, T0 + 5 * DAY),
+        # order 12: first ship only after both windows
+        (12, T0 + 200 * DAY),
+        # order 13: no lineitems at all
+    ]
+    lineitem = pa.table({
+        "l_orderkey": pa.array([r[0] for r in lrows], type=pa.int64()),
+        "l_partkey": pa.array([1] * len(lrows), type=pa.int64()),
+        "l_suppkey": pa.array([1] * len(lrows), type=pa.int64()),
+        "l_linenumber": pa.array(range(1, len(lrows) + 1), type=pa.int32()),
+        "l_quantity": pa.array([1.0] * len(lrows), type=pa.float64()),
+        "l_extendedprice": pa.array([1.0] * len(lrows), type=pa.float64()),
+        "l_discount": pa.array([0.0] * len(lrows), type=pa.float64()),
+        "l_tax": pa.array([0.0] * len(lrows), type=pa.float64()),
+        "l_returnflag": pa.array(["N"] * len(lrows), type=pa.string()),
+        "l_linestatus": pa.array(["O"] * len(lrows), type=pa.string()),
+        "l_shipdate": pa.array([r[1] for r in lrows], type=pa.timestamp("us")),
+    })
+    pq.write_table(orders, str(d / "orders.parquet"))
+    pq.write_table(lineitem, str(d / "lineitem.parquet"))
+    return str(d)
+
+
+def _ship_oracle(sql: str, d: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def test_asof_ship_includes_exact_tie_and_handles_no_match(
+        ray_session, crafted_ship_dir):
     from deed_ocr_ray.pipelines import windows
 
-    got = _canon(windows.q_asof_last_event(crafted_dir).to_pandas())
-    want = _canon(_oracle(windows.Q_ASOF_SQL, crafted_dir))
+    got = _canon(windows.q_asof_last_ship(crafted_ship_dir).to_pandas())
+    want = _canon(_ship_oracle(windows.Q_ASOF_SQL, crafted_ship_dir))
     pd.testing.assert_frame_equal(got, want)
     by_key = got.set_index("o_orderkey")
-    assert by_key.loc[10, "n_events_before"] == 2   # ties at T0 count
-    assert by_key.loc[11, "n_events_before"] == 0   # before any event
-    assert pd.isna(by_key.loc[11, "last_event_ts"])
-    assert by_key.loc[12, "n_events_before"] == 3   # triple tie
-    assert by_key.loc[13, "n_events_before"] == 0   # user with no events
+    assert by_key.loc[10, "n_shipped"] == 1        # AT +60d counts, +1us not
+    assert by_key.loc[11, "n_shipped"] == 2        # same-instant tie: both
+    assert by_key.loc[12, "n_shipped"] == 0        # first ship after probe
+    assert pd.isna(by_key.loc[12, "last_ship_ts"])
+    assert by_key.loc[13, "n_shipped"] == 0        # order with no lineitems
+
+
+def test_range_join_ship_half_open_window(ray_session, crafted_ship_dir):
+    from deed_ocr_ray.pipelines import windows
+
+    got = _canon(windows.q_range_join_ship(crafted_ship_dir).to_pandas())
+    want = _canon(_ship_oracle(windows.Q_RANGE_JOIN_SQL, crafted_ship_dir))
+    pd.testing.assert_frame_equal(got, want)
+    by_key = got.set_index("o_orderkey")
+    # order 10: +60d and +60d+1us are in [T0, T0+90d); AT +90d is NOT
+    assert by_key.loc[10, "n_ship_window"] == 2
+    assert by_key.loc[11, "n_ship_window"] == 2
+    assert by_key.loc[12, "n_ship_window"] == 0
+    assert pd.isna(by_key.loc[12, "first_ship_ts"])
+    assert by_key.loc[13, "n_ship_window"] == 0
 
 
 def test_running_total_rounding_at_half_cent(ray_session, crafted_dir):
