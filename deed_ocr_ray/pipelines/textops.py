@@ -437,9 +437,11 @@ WHERE words BETWEEN {FILTER_MIN_WORDS} AND {FILTER_MAX_WORDS}
 """
 
 
-def q_posting_pairs(sf_dir: str, min_len: int = 7) -> "ray.data.Dataset":
+def q_posting_pairs(sf_dir: str, min_len: int = 6) -> "ray.data.Dataset":
     """Inverted-index posting pairs: distinct (term, doc_id) for long
-    terms (length >= ``min_len`` bounds the vocabulary). Per-batch
+    terms (length >= ``min_len`` bounds the vocabulary; default 6
+    so the sf testdata contributes several distinct terms, not just
+    its lone 8-char word). Per-batch
     distinct shrinks the exchange to unique pairs per block before the
     global distinct groupby — the index-build shuffle shape (at scale,
     write the groupby output partitioned by term hash for serving).
@@ -472,7 +474,7 @@ def q_posting_pairs(sf_dir: str, min_len: int = 7) -> "ray.data.Dataset":
     return uniq.drop_columns(["n"])
 
 
-def posting_pairs_sql(min_len: int = 7) -> str:
+def posting_pairs_sql(min_len: int = 6) -> str:
     """Oracle SQL for ``q_posting_pairs`` at the same ``min_len`` —
     parameters interpolate here so operator and oracle cannot desync."""
     return rf"""
