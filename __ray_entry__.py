@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_rollup": analysis.q_revenue_rollup,
         "revenue_cube": analysis.q_revenue_cube,
         "token_rarity": analysis.q_token_rarity,
+        "remove_dup_ngrams": analysis.q_remove_dup_ngrams,
+        "lm_score": analysis.q_lm_score,
         "corr_qty_discount": analysis.q_corr_qty_discount,
         "quantity_percentiles": analysis.q_quantity_percentiles,
         "retention_7d": analysis.q_retention,
@@ -233,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_overflow": dedup.q_lsh_overflow,
         "simhash_overflow": dedup.q_simhash_overflow,
         "neardup_clusters": dedup.q_neardup_clusters,
+        "cluster_keep_best": dedup.q_cluster_keep_best,
     }
 
 
@@ -294,6 +297,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_rollup": analysis.Q_REVENUE_ROLLUP_SQL,
         "revenue_cube": analysis.Q_REVENUE_CUBE_SQL,
         "token_rarity": analysis.Q_TOKEN_RARITY_SQL,
+        "remove_dup_ngrams": analysis.Q_REMOVE_DUP_NGRAMS_SQL,
+        "lm_score": analysis.Q_LM_SCORE_SQL,
         "corr_qty_discount": analysis.Q_CORR_QTY_DISCOUNT_SQL,
         "bloom_semijoin": sketches.Q_BLOOM_SEMIJOIN_SQL,
         "quantity_percentiles": analysis.Q_QUANTITY_PERCENTILES_SQL,

@@ -1052,3 +1052,290 @@ GROUP BY 1
 
 
 Q_TOKEN_RARITY_SQL = token_rarity_sql()
+
+
+# --------------------------------------- duplicate n-gram span REMOVAL
+
+def q_remove_dup_ngrams(sf_dir: str, n: int = 5, min_count: int = 2) -> "ray.data.Dataset":
+    """Remove corpus-duplicated n-gram spans from every document — the
+    REWRITE that completes ``q_dup_ngram_coverage``'s measurement (Lee
+    et al. exact-substring dedup at n-gram granularity, Dolma's
+    span-drop pass): any token position covered by an n-gram occurring
+    >= ``min_count`` times anywhere in the corpus is deleted, and the
+    surviving tokens are re-joined with single spaces.
+
+    Scale shape: the duplicate START rows travel slim — the document
+    payload never enters the two counting shuffles:
+
+    1. explode to (doc_id, j, ngram) starts + per-doc sentinel, shuffle
+       on ``hash(ngram) % P`` — in-partition count IS the global count;
+       non-duplicate starts are dropped there (the overwhelming
+       majority at corpus scale);
+    2. shuffle survivors on ``doc_id % P`` and fold them to ONE slim
+       row per doc: ``(doc_id, starts)`` with starts comma-joined into
+       a string (Arrow's hash join can't carry list columns; the
+       sentinel guarantees every doc emits a row, possibly empty);
+    3. ONE distributed hash join of that slim per-doc table against the
+       documents payload on doc_id — the text moves through exactly one
+       exchange — then a vectorized-per-batch rebuild masks the covered
+       interval union and re-joins the kept tokens.
+
+    Tokenization is single-space split of the trimmed text, identical
+    to DuckDB ``string_split(trim(text), ' ')``; output is all
+    ints/strings, so the oracle hash is exact.
+    Columns: doc_id, n_tokens, n_removed, clean_text.
+    """
+    from .dedup import _coalesce_for_join, _join_parts_for
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids: list = []
+        starts: list = []
+        ngs: list = []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = text.strip().split(" ")
+            doc_ids.append(did); starts.append(-1); ngs.append("")
+            for j in range(len(toks) - n + 1):
+                doc_ids.append(did)
+                starts.append(j)
+                ngs.append(" ".join(toks[j:j + n]))
+        tbl = pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "j": pa.array(starts, type=pa.int64()),
+            "ng": pa.array(ngs, type=pa.string()),
+        })
+        part = _hash_part(ngs)
+        sent = np.asarray(starts) < 0
+        part[sent] = (np.asarray(doc_ids)[sent] % N_PARTS).astype(np.int32)
+        return tbl.append_column("part", pa.array(part, type=pa.int32()))
+
+    def count_filter(g: pd.DataFrame) -> pa.Table:
+        real = g["j"].to_numpy() >= 0
+        ng = g["ng"]
+        cnt = ng[real].map(ng[real].value_counts())
+        keep = real.copy()
+        keep[real] = (cnt >= min_count).to_numpy()
+        out = g[keep | ~real]
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+            "j": pa.array(out["j"].to_numpy(), type=pa.int64()),
+        })
+
+    def starts_list(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["doc_id", "j"])
+        d = g["doc_id"].to_numpy()
+        j = g["j"].to_numpy()
+        first = np.empty(len(d), dtype=bool)
+        if len(d):
+            first[0] = True
+            first[1:] = d[1:] != d[:-1]
+        bounds = np.flatnonzero(first)
+        docs = d[bounds] if len(d) else np.array([], dtype=np.int64)
+        # comma-joined string, not list<int64>: Arrow's hash join can't
+        # carry list columns through the shuffle aggregators
+        lists = [
+            ",".join(str(int(x)) for x in chunk if x >= 0)
+            for chunk in np.split(j, bounds[1:])
+        ] if len(d) else []
+        return pa.table({
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "starts": pa.array(lists, type=pa.string()),
+        })
+
+    def add_doc_part(t: pa.Table) -> pa.Table:
+        part = (t["doc_id"].to_numpy() % N_PARTS).astype(np.int32)
+        return t.append_column("part", pa.array(part, type=pa.int32()))
+
+    per_doc = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(count_filter, batch_format="pandas")
+        .map_batches(add_doc_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(starts_list, batch_format="pandas")
+    )
+    per_doc, n_docs = _coalesce_for_join(per_doc)
+    if n_docs == 0:  # empty corpus: the join operator can't take it
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "n_removed": pa.array([], type=pa.int64()),
+            "clean_text": pa.array([], type=pa.string()),
+        }))
+
+    joined = ds.join(per_doc, join_type="inner",
+                     num_partitions=_join_parts_for(n_docs), on=("doc_id",))
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_pylist()
+        n_toks: list = []
+        n_rm: list = []
+        clean: list = []
+        for text, starts in zip(t["text"].to_pylist(), t["starts"].to_pylist()):
+            toks = text.strip().split(" ")
+            keep = np.ones(len(toks), dtype=bool)
+            for s_str in starts.split(",") if starts else ():
+                s = int(s_str)
+                keep[s:s + n] = False
+            kept = [tok for tok, k in zip(toks, keep) if k]
+            n_toks.append(len(toks))
+            n_rm.append(len(toks) - len(kept))
+            clean.append(" ".join(kept))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "n_tokens": pa.array(n_toks, type=pa.int64()),
+            "n_removed": pa.array(n_rm, type=pa.int64()),
+            "clean_text": pa.array(clean, type=pa.string()),
+        })
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
+def remove_dup_ngrams_sql(n: int = 5, min_count: int = 2) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents),
+starts AS (
+  SELECT doc_id, u.j, array_to_string(list_slice(arr, u.j + 1, u.j + {int(n)}), ' ') AS ng
+  FROM toks, LATERAL (SELECT unnest(range(len(arr) - {int(n)} + 1)) AS j) u
+),
+cnt AS (SELECT ng, COUNT(*) AS c FROM starts GROUP BY ng),
+dup AS (SELECT s.doc_id, s.j FROM starts s JOIN cnt USING (ng) WHERE c >= {int(min_count)}),
+pos AS (SELECT doc_id, u.p FROM toks, LATERAL (SELECT unnest(range(len(arr))) AS p) u),
+cov AS (SELECT DISTINCT doc_id, j + o.o AS p
+        FROM dup, LATERAL (SELECT unnest(range({int(n)})) AS o) o),
+kept AS (SELECT p.doc_id, p.p FROM pos p ANTI JOIN cov c USING (doc_id, p)),
+agg AS (SELECT k.doc_id, string_agg(t.arr[k.p + 1], ' ' ORDER BY k.p) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept k JOIN toks t USING (doc_id) GROUP BY k.doc_id)
+SELECT t.doc_id, CAST(len(t.arr) AS BIGINT) AS n_tokens,
+       CAST(len(t.arr) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(agg.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN agg USING (doc_id)
+"""
+
+
+Q_REMOVE_DUP_NGRAMS_SQL = remove_dup_ngrams_sql()
+
+
+# ------------------------------------------ bigram-LM typicality score
+
+def q_lm_score(sf_dir: str) -> "ray.data.Dataset":
+    """Bigram-LM typicality per document — the KenLM-style "how
+    ordinary is this text under a corpus language model" quality
+    signal (CCNet filters on exactly this), with the LM trained on the
+    SAME corpus in the same pass. Per doc: ``n_bigrams`` (token-pair
+    occurrences), ``c_sum`` (sum over the doc's bigram occurrences of
+    each bigram's corpus-global count — the integer-exact typicality
+    mass), and ``lm_score = ln((c_sum + 1) / (n_bigrams + 1))`` — the
+    log of the average bigram frequency with add-one smoothing.
+    Repetitive/boilerplate text scores high, novel text low.
+
+    Why not true perplexity (sum of per-bigram log-probs): a float SUM
+    is accumulation-order-dependent, so it can never be value-hash
+    equal to a SQL oracle; the integer mass keeps every cross-engine
+    op exact and spends exactly ONE ``ln`` on an int-ratio at the end
+    (same IEEE op tree as the oracle, bit-identical — the
+    [[q_tfidf_topk]] pattern).
+
+    Scale shape (the corpus-global bigram table is corpus-sized, NOT
+    broadcastable): per-batch per-doc bigram counts (combiner) →
+    shuffle on ``hash(bigram) % P`` (in-partition count IS the global
+    count; fold to per-doc partials there) → slim groupby on doc_id
+    sums the partials. A per-doc sentinel row rides the first shuffle
+    so zero-bigram docs (< 2 tokens) still emit a row.
+    Columns: doc_id, n_bigrams, c_sum, lm_score.
+    """
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids: list = []
+        bgs: list = []
+        tfs: list = []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = text.strip().split(" ")
+            local: dict = {}
+            for a, b in zip(toks, toks[1:]):
+                bg = a + " " + b
+                local[bg] = local.get(bg, 0) + 1
+            doc_ids.append(did); bgs.append(""); tfs.append(0)  # sentinel
+            doc_ids.extend([did] * len(local))
+            bgs.extend(local.keys())
+            tfs.extend(local.values())
+        tbl = pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "bg": pa.array(bgs, type=pa.string()),
+            "tf": pa.array(tfs, type=pa.int64()),
+        })
+        part = _hash_part(bgs)
+        sent = np.asarray(tfs) == 0
+        part[sent] = (np.asarray(doc_ids)[sent] % N_PARTS).astype(np.int32)
+        return tbl.append_column("part", pa.array(part, type=pa.int32()))
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        real = g[g["tf"] > 0]
+        # global count per bigram == sum of tf over co-located docs
+        c = real.groupby("bg", sort=False)["tf"].transform("sum")
+        tf = real["tf"].to_numpy()
+        df = pd.DataFrame({
+            "doc_id": real["doc_id"].to_numpy(),
+            "c_part": tf * c.to_numpy(),
+            "nb_part": tf,
+        })
+        p = df.groupby("doc_id", sort=False).sum()
+        sent = g[g["tf"] == 0]
+        return pa.table({
+            "doc_id": pa.array(
+                np.concatenate([p.index.to_numpy(), sent["doc_id"].to_numpy()])
+                if len(p) or len(sent) else np.array([], dtype=np.int64),
+                type=pa.int64()),
+            "c_part": pa.array(
+                np.concatenate([p["c_part"].to_numpy(),
+                                np.zeros(len(sent), dtype=np.int64)])
+                if len(p) or len(sent) else np.array([], dtype=np.int64),
+                type=pa.int64()),
+            "nb_part": pa.array(
+                np.concatenate([p["nb_part"].to_numpy(),
+                                np.zeros(len(sent), dtype=np.int64)])
+                if len(p) or len(sent) else np.array([], dtype=np.int64),
+                type=pa.int64()),
+        })
+
+    def score(t: pa.Table) -> pa.Table:
+        c_sum = t["c_sum"].to_numpy()
+        nb = t["n_bigrams"].to_numpy()
+        # scalar libm log per row of an exact int ratio — bit-identical
+        # to DuckDB ``ln`` (numpy's SIMD log differs in the last ulp)
+        s = [math.log(x) for x in ((c_sum + 1.0) / (nb + 1.0)).tolist()]
+        return t.append_column("lm_score", pa.array(s, type=pa.float64()))
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("nb_part", alias_name="n_bigrams"),
+                   Sum("c_part", alias_name="c_sum"))
+        .map_batches(score, batch_format="pyarrow")
+    )
+
+
+Q_LM_SCORE_SQL = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents),
+bgs AS (
+  SELECT doc_id, arr[u.j + 1] || ' ' || arr[u.j + 2] AS bg
+  FROM toks, LATERAL (SELECT unnest(range(len(arr) - 1)) AS j) u
+),
+f AS (SELECT doc_id, bg, COUNT(*) AS tf FROM bgs GROUP BY 1, 2),
+g AS (SELECT bg, SUM(tf) AS c FROM f GROUP BY 1),
+s AS (SELECT f.doc_id, SUM(f.tf * g.c) AS c_sum, SUM(f.tf) AS nb
+      FROM f JOIN g USING (bg) GROUP BY 1)
+SELECT t.doc_id,
+       CAST(COALESCE(s.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(s.c_sum, 0) AS BIGINT) AS c_sum,
+       ln((COALESCE(s.c_sum, 0) + 1.0) / (COALESCE(s.nb, 0) + 1.0)) AS lm_score
+FROM toks t LEFT JOIN s USING (doc_id)
+"""

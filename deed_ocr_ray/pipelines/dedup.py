@@ -828,3 +828,59 @@ def q_neardup_clusters(
         lambda t: pa.table({"doc_id": t["node"], "rep_id": t["label"]}),
         batch_format="pyarrow",
     )
+
+
+# -------------------------------------- cluster representative keeper
+
+_EMPTY_KEEP = pa.table({
+    "doc_id": pa.array([], type=pa.int64()),
+    "rep_id": pa.array([], type=pa.int64()),
+    "n_chars": pa.array([], type=pa.int64()),
+    "keep": pa.array([], type=pa.bool_()),
+})
+
+
+def q_cluster_keep_best(sf_dir: str, min_est: float = 0.5) -> "ray.data.Dataset":
+    """Pick the KEEPER in every near-dup cluster — the ranked dedup
+    decision (SURVEY D2 "near-dup with ranking") that completes
+    [[q_neardup_clusters]]'s component labels: within each component,
+    keep the longest document (``n_chars``; ties broken by min
+    ``doc_id``), drop the rest. This is the corpus-scale form of the
+    reference's keep-richest near-dup suppression
+    (deed_ocr/extractors/llm.py:167-193 keeps the higher-confidence
+    member of each near-identical pair).
+
+    Shape: cluster labels are a tiny slice of the corpus (only docs
+    with a verified near-dup), so ONE distributed hash join attaches
+    ``n_chars`` (the payload never moves — the documents read is
+    pruned to two int columns), then a groupby on ``rep_id`` ranks
+    members vectorized per cluster partition. Docs outside any
+    cluster are implicitly kept (absent from the output).
+    Columns: doc_id, rep_id, n_chars, keep.
+    (No SQL oracle: input clusters are MinHash-sketch-derived; the
+    keep rule itself is pytest-verified on a crafted fixture.)"""
+    clusters = q_neardup_clusters(sf_dir, min_est=min_est)
+    clusters, n_cl = _coalesce_for_join(
+        clusters.map_batches(lambda t: t.select(["doc_id", "rep_id"]),
+                             batch_format="pyarrow"))
+    if n_cl == 0:
+        return ray.data.from_arrow(_EMPTY_KEEP)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+    joined = clusters.join(docs, join_type="inner",
+                           num_partitions=_join_parts_for(n_cl),
+                           on=("doc_id",))
+
+    def decide(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["rep_id", "n_chars", "doc_id"],
+                          ascending=[True, False, True])
+        keep = g.groupby("rep_id", sort=False).cumcount().to_numpy() == 0
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(), type=pa.int64()),
+            "rep_id": pa.array(g["rep_id"].to_numpy(), type=pa.int64()),
+            "n_chars": pa.array(g["n_chars"].to_numpy(), type=pa.int64()),
+            "keep": pa.array(keep, type=pa.bool_()),
+        })
+
+    return joined.groupby("rep_id").map_groups(decide, batch_format="pandas")

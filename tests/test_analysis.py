@@ -460,3 +460,65 @@ def test_token_rarity_counts_occurrences_not_types(ray_session, tmp_path):
     assert by.loc[0, "rarity_mass"] == 12   # 3 occurrences x global 4
     assert by.loc[1, "rarity_mass"] == 5    # go(4) + stop(1)
     assert by.loc[1, "n_rare"] == 1
+
+
+# --------------------------------------------- dup-n-gram span removal
+
+def test_remove_dup_ngrams_exact(ray_session, tmp_path):
+    from deed_ocr_ray.pipelines.analysis import q_remove_dup_ngrams
+
+    _write(tmp_path, "documents", DOCS)
+    got = (q_remove_dup_ngrams(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    # doc0: "a b c d e" (corpus count 4) covers 0-4 -> "f g" survives
+    assert got.loc[0, "clean_text"] == "f g" and got.loc[0, "n_removed"] == 5
+    # doc1: dup 5-gram at j=1 covers 1-5 -> edges survive
+    assert got.loc[1, "clean_text"] == "z y"
+    # doc2 (< n tokens) and doc3 (all unique) pass through unchanged
+    assert got.loc[2, "clean_text"] == "short doc" and got.loc[2, "n_removed"] == 0
+    assert got.loc[3, "clean_text"] == "u v w x q r s"
+    # doc4: both starts duplicate -> fully removed, empty string out
+    assert got.loc[4, "clean_text"] == "" and got.loc[4, "n_removed"] == 10
+    assert (got["n_tokens"] - got["n_removed"] ==
+            got["clean_text"].map(lambda s: len(s.split(" ")) if s else 0)).all()
+
+
+def test_remove_dup_ngrams_matches_oracle_on_fixture(ray_session, tmp_path):
+    from deed_ocr_ray.pipelines.analysis import (
+        Q_REMOVE_DUP_NGRAMS_SQL, q_remove_dup_ngrams)
+
+    _write(tmp_path, "documents", DOCS)
+    got = q_remove_dup_ngrams(str(tmp_path)).to_pandas()
+    want = _oracle(tmp_path, Q_REMOVE_DUP_NGRAMS_SQL, ["documents"])
+    assert _hash(got) == _hash(want)
+
+
+# ------------------------------------------------ bigram-LM typicality
+
+def test_lm_score_exact(ray_session, tmp_path):
+    import math
+
+    from deed_ocr_ray.pipelines.analysis import q_lm_score
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["a b a b", "a b", "x"], type=pa.string()),
+    })
+    _write(tmp_path, "documents", docs)
+    got = q_lm_score(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    # global bigram counts: "a b" -> 3, "b a" -> 1
+    assert got.loc[0, "n_bigrams"] == 3 and got.loc[0, "c_sum"] == 7
+    assert got.loc[0, "lm_score"] == math.log(8.0 / 4.0)
+    assert got.loc[1, "n_bigrams"] == 1 and got.loc[1, "c_sum"] == 3
+    assert got.loc[1, "lm_score"] == math.log(4.0 / 2.0)
+    # zero-bigram doc still emits a row, score ln(1/1) = 0
+    assert got.loc[2, "n_bigrams"] == 0 and got.loc[2, "lm_score"] == 0.0
+
+
+def test_lm_score_matches_oracle_on_fixture(ray_session, tmp_path):
+    from deed_ocr_ray.pipelines.analysis import Q_LM_SCORE_SQL, q_lm_score
+
+    _write(tmp_path, "documents", DOCS)
+    got = q_lm_score(str(tmp_path)).to_pandas()
+    want = _oracle(tmp_path, Q_LM_SCORE_SQL, ["documents"])
+    assert _hash(got) == _hash(want)

@@ -549,3 +549,48 @@ def test_bpe_and_ws_tokenizers_differ_on_punctuation():
     assert ws == 5
     assert bpe == 10
     assert bpe != ws
+
+
+def test_cluster_keep_best_picks_longest_then_min_id(ray_session, tmp_path):
+    """Within every near-dup component exactly one member is kept: the
+    longest text, ties broken by min doc_id; singletons never appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deed_ocr_ray.pipelines.dedup import q_cluster_keep_best, q_neardup_clusters
+
+    d = tmp_path / "keepbest"
+    d.mkdir()
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3,
+        "one two three four five six seven eight nine ten " * 3,
+    ]
+    docs, ids = [], []
+    n = 0
+    for fam in base:
+        for j in range(4):
+            docs.append(fam + "tail" + "x" * j)  # lengths strictly increase
+            ids.append(n)
+            n += 1
+    for j in range(3):
+        docs.append(f"unique solitary document number {j} with words {j*13} {j*29}")
+        ids.append(n)
+        n += 1
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array(docs, type=pa.string()),
+        "n_chars": pa.array([len(t) for t in docs], type=pa.int64()),
+    }), str(d / "documents.parquet"))
+
+    clusters = q_neardup_clusters(str(d)).to_pandas()
+    got = q_cluster_keep_best(str(d)).to_pandas()
+    assert set(got["doc_id"]) == set(clusters["doc_id"])
+    # exactly one keeper per component, and it's the longest member
+    lens = dict(zip(ids, (len(t) for t in docs)))
+    for rep, grp in got.groupby("rep_id"):
+        keepers = grp[grp["keep"]]
+        assert len(keepers) == 1
+        best = max(grp["doc_id"], key=lambda i: (lens[i], -i))
+        assert keepers["doc_id"].iloc[0] == best
+    # singletons (never clustered) are absent
+    assert all(i < 8 for i in got["doc_id"])
