@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "price_deciles",
     "token_rarity",
     "customer_ltv",
+    "remove_dup_ngrams",
+    "lm_score",
 ]
 
 

@@ -4,14 +4,15 @@ No image library exists in this environment — but PNG's container is
 just zlib (stdlib) + per-scanline difference filters, and binary PPM is
 a header plus raw bytes. Implementing them from the public format specs
 (PNG: RFC 2083; PPM: netpbm man pages) makes the multimodal decode
-stage REAL for these formats; only codec-bound formats (JPEG, WEBP,
-video) remain behind the stub boundary.
+stage REAL for these formats.
 
 Supported PNG subset: 8-bit depth, color types 0 (gray), 2 (RGB),
 6 (RGBA), non-interlaced — the subset the encoder emits and the
 deterministic fixtures use. All five scanline filters (None/Sub/Up/
 Average/Paeth) decode, and the encoder can emit any of them, so the
-decoder's filter paths are roundtrip-testable.
+decoder's filter paths are roundtrip-testable. Baseline JPEG lives in
+the sibling ``jpegcodec.py``; only WEBP/video (and progressive JPEG)
+remain behind the stub boundary.
 """
 
 from __future__ import annotations

@@ -4,11 +4,13 @@ Images/audio/video are carried as ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample run as
 actor-pool ``map_batches`` stages.
 
-Decode is REAL for PNG and binary PPM — pure-stdlib codecs implemented
-from the public specs (``functions/imagecodec.py``: zlib container +
-scanline unfiltering, netpbm header) — so the pipeline exercises true
-pixel math (decode → nearest-resize → feature extraction). Codec-bound
-formats (JPEG/WEBP/video) remain behind the stub boundary:
+Decode is REAL for PNG, binary PPM, and baseline JPEG — pure-stdlib
+codecs implemented from the public specs (``functions/imagecodec.py``:
+zlib container + scanline unfiltering, netpbm header;
+``functions/jpegcodec.py``: T.81 sequential DCT + Annex K tables) — so
+the pipeline exercises true pixel math (decode → nearest-resize →
+feature extraction). The remaining codec-bound formats (WEBP/video,
+progressive JPEG) stay behind the stub boundary:
 ``require_real_codecs=True`` raises ``NotImplementedError`` when a
 payload is not a format the in-repo codecs can decode, while the
 default falls back to a deterministic fake for them (exercising the
@@ -34,6 +36,7 @@ from ..functions.imagecodec import (
     png_info,
     resize_nearest,
 )
+from ..functions.jpegcodec import JPEG_MAGIC, decode_jpeg, jpeg_info
 
 MEDIA_META_TYPE = pa.struct(
     [
@@ -52,6 +55,8 @@ def sniff_media(payload: bytes) -> str:
         return "png"
     if payload.startswith(b"P6"):
         return "ppm"
+    if payload.startswith(JPEG_MAGIC):
+        return "jpeg"
     return "unknown"
 
 
@@ -78,16 +83,19 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if kind == "ppm":
         return decode_ppm(payload)
+    if kind == "jpeg":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "no in-repo codec for this payload (PNG/PPM decode is real; "
-        "JPEG/WEBP/video need external codecs absent from this environment)"
+        "no in-repo codec for this payload (PNG/PPM/baseline-JPEG decode "
+        "is real; WEBP/video need external codecs absent from this "
+        "environment)"
     )
 
 
 class MediaDecoder:
     """Actor-pool decode stage: binary column in, metadata struct out.
 
-    PNG/PPM payloads get REAL header/pixel-derived metadata; other
+    PNG/PPM/JPEG payloads get REAL header/pixel-derived metadata; other
     formats use the deterministic fake unless ``require_real_codecs``
     (then they raise at decode time — the per-format stub boundary).
 
@@ -109,6 +117,8 @@ class MediaDecoder:
             elif kind == "ppm":
                 arr = decode_ppm(payload)
                 h, w = arr.shape[:2]
+            elif kind == "jpeg":
+                w, h, _ = jpeg_info(payload)
             elif self.require_real_codecs:
                 decode_image(payload)  # raises NotImplementedError
                 raise AssertionError("unreachable")
@@ -116,8 +126,8 @@ class MediaDecoder:
                 return _fake_decode(payload)
         except (ValueError, NotImplementedError):
             # Lenient mode stays TOTAL: bytes that merely sniff as
-            # PNG/PPM but are malformed fall back to the deterministic
-            # fake instead of failing the whole map task.
+            # PNG/PPM/JPEG but are malformed fall back to the
+            # deterministic fake instead of failing the whole map task.
             if self.require_real_codecs:
                 raise
             return _fake_decode(payload)
@@ -141,8 +151,9 @@ class MediaDecoder:
 
 
 class ImageFeatures:
-    """Actor-pool stage doing REAL pixel work per row: decode (PNG/PPM)
-    → nearest-resize to ``thumb`` × ``thumb`` → feature extraction
+    """Actor-pool stage doing REAL pixel work per row: decode
+    (PNG/PPM/JPEG) → nearest-resize to ``thumb`` × ``thumb`` → feature
+    extraction
     (channel means, std, brightness-histogram entropy). The A4
     model-weights analogue with actual math instead of a stub."""
 
@@ -208,6 +219,22 @@ def synth_png(doc_id: int, w: int = 24, h: int = 16) -> bytes:
     return encode_png(img, filter_type=doc_id % 5)  # exercise every filter
 
 
+def synth_jpeg(doc_id: int, w: int = 24, h: int = 16) -> bytes:
+    """Deterministic baseline-JPEG payload for a doc_id — smooth
+    gradient content (JPEG-friendly), 4:2:0 for odd ids so both
+    sampling layouts flow through the pipeline."""
+    from ..functions.jpegcodec import encode_jpeg
+
+    yy = np.arange(h, dtype=np.float64)[:, None]
+    xx = np.arange(w, dtype=np.float64)[None, :]
+    img = np.stack([
+        (yy * 7 + (doc_id * 31) % 97) % 256 + 0 * xx,
+        (xx * 5 + (doc_id * 17) % 89) % 256 + 0 * yy,
+        ((xx + yy) * 3 + doc_id % 83) % 256,
+    ], axis=2).astype(np.uint8)
+    return encode_jpeg(img, quality=90, subsample=bool(doc_id % 2))
+
+
 def q_media_pipeline(sf_dir: str) -> "ray.data.Dataset":
     """Media plumbing demo over documents-as-payloads: text bytes stand
     in for an undecodable column; decode (fake for unknown formats)
@@ -228,18 +255,20 @@ def q_media_pipeline(sf_dir: str) -> "ray.data.Dataset":
 
 
 def q_image_features(sf_dir: str) -> "ray.data.Dataset":
-    """REAL image pipeline: deterministic PNG payloads (every scanline
-    filter exercised) → in-repo decode → resize → features, all in
-    actor-pool stages with small batches (fat-row guidance).
-    Columns: doc_id, width, height, mean_r, mean_g, mean_b, std,
-    entropy. (No SQL oracle: pixel math not expressible in SQL.)"""
+    """REAL image pipeline: deterministic payloads — PNG for two of
+    every three docs (every scanline filter exercised), baseline JPEG
+    for the third (both 4:4:4 and 4:2:0) — → in-repo decode → resize →
+    features, all in actor-pool stages with small batches (fat-row
+    guidance). Columns: doc_id, width, height, mean_r, mean_g, mean_b,
+    std, entropy. (No SQL oracle: pixel math not expressible in SQL.)"""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def make_payloads(t: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": t["doc_id"],
             "payload": pa.array(
-                [synth_png(int(d)) for d in t["doc_id"].to_pylist()],
+                [synth_jpeg(int(d)) if d % 3 == 0 else synth_png(int(d))
+                 for d in t["doc_id"].to_pylist()],
                 type=pa.binary()),
         })
 

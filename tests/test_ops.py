@@ -239,15 +239,25 @@ def test_media_decoder_real_codecs_and_stub_boundary():
     metas = out["media_meta"].to_pylist()
     assert metas[0]["format"] == "png" and metas[0]["width"] == 24
     assert metas[1]["format"] == "ppm" and (metas[1]["width"], metas[1]["height"]) == (9, 5)
-    # stub boundary: an undecodable format raises ONLY in strict mode
-    jpeg_ish = pa.table({
+    # stub boundary: a genuinely codec-less format (WEBP) raises ONLY in
+    # strict mode; baseline JPEG is now in-repo so malformed JPEG bytes
+    # are a ValueError there, fake-fallback in lenient mode
+    webp_ish = pa.table({
         "doc_id": pa.array([3], type=pa.int64()),
-        "payload": pa.array([b"\xff\xd8\xff\xe0 not decodable"], type=pa.binary()),
+        "payload": pa.array([b"RIFF\x24\x00\x00\x00WEBPVP8 "], type=pa.binary()),
     })
     with pytest.raises(NotImplementedError):
-        MediaDecoder(require_real_codecs=True)(jpeg_ish)
-    fake = MediaDecoder()(jpeg_ish)["media_meta"].to_pylist()[0]
+        MediaDecoder(require_real_codecs=True)(webp_ish)
+    fake = MediaDecoder()(webp_ish)["media_meta"].to_pylist()[0]
     assert fake["format"] in {"jpeg", "webp", "tiff", "mp4"}
+    jpeg_bad = pa.table({
+        "doc_id": pa.array([4], type=pa.int64()),
+        "payload": pa.array([b"\xff\xd8\xff\xe0 not decodable"], type=pa.binary()),
+    })
+    with pytest.raises(ValueError):
+        MediaDecoder(require_real_codecs=True)(jpeg_bad)
+    fake = MediaDecoder()(jpeg_bad)["media_meta"].to_pylist()[0]
+    assert fake["width"] > 0
 
 
 def test_media_decoder_lenient_mode_is_total_on_malformed_sniffs():
