@@ -224,6 +224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # packing / iterative (prefix-sum + Lloyd's)
         "pack_windows": packing.q_pack_windows,
         "kmeans": packing.q_kmeans,
+        "chunk_windows": packing.q_chunk_windows,
+        "seeded_shuffle": packing.q_seeded_shuffle,
         # dedup family
         "exact_dedup": dedup.q_exact_dedup,
         "minhash_pairs": dedup.q_minhash_pairs,
@@ -280,6 +282,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": textops.Q_DOC_SAMPLE_SQL,
         "line_repetition": textops.Q_LINE_REPETITION_SQL,
         "pack_windows": packing.Q_PACK_WINDOWS_SQL,
+        "chunk_windows": packing.Q_CHUNK_WINDOWS_SQL,
+        "seeded_shuffle": packing.Q_SEEDED_SHUFFLE_SQL,
         "corpus_filter": textops.Q_CORPUS_FILTER_SQL,
         "exact_dedup": dedup.Q_EXACT_DEDUP_SQL,
         "jaccard_adjacent": dedup.Q_JACCARD_ADJ_SQL,

@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "customer_ltv",
     "remove_dup_ngrams",
     "lm_score",
+    "chunk_windows",
+    "seeded_shuffle",
 ]
 
 

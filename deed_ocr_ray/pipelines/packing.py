@@ -179,3 +179,176 @@ def q_kmeans(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return ds.map_batches(assign_fn, batch_format="pyarrow")
+
+
+# ------------------------------------------- sliding-window chunking
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def q_chunk_windows(sf_dir: str, chunk: int = CHUNK_TOKENS,
+                    overlap: int = CHUNK_OVERLAP) -> "ray.data.Dataset":
+    """Explode each document into fixed-size token chunks with overlap —
+    the doc→chunk fan-out every embedding/RAG indexing pipeline runs
+    before vectorizing. HF-tokenizer ``return_overflowing_tokens``
+    semantics: chunks start at multiples of ``stride = chunk - overlap``
+    while the start is inside the doc; the last chunk may be short.
+    Empty docs emit no chunks.
+
+    Pure flat-map, NO shuffle: the document text enters exactly once
+    and each output row carries only its own slice, so at corpus scale
+    this runs at read bandwidth. Tokenization is whitespace split of
+    the trimmed text, identical to DuckDB
+    ``regexp_split_to_array(trim(text), '\\s+')`` (the `pack_windows`
+    convention).
+    Columns: doc_id, chunk_idx, start_tok, chunk_tokens, chunk_text.
+    """
+    stride = chunk - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk")
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids: List[int] = []; idxs: List[int] = []; starts: List[int] = []
+        ntoks: List[int] = []; texts: List[str] = []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = (txt or "").split()
+            nt = len(toks)
+            for ci, s in enumerate(range(0, nt, stride)):
+                piece = toks[s:s + chunk]
+                ids.append(did); idxs.append(ci); starts.append(s)
+                ntoks.append(len(piece)); texts.append(" ".join(piece))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "chunk_idx": pa.array(idxs, type=pa.int64()),
+            "start_tok": pa.array(starts, type=pa.int64()),
+            "chunk_tokens": pa.array(ntoks, type=pa.int64()),
+            "chunk_text": pa.array(texts, type=pa.string()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def chunk_windows_sql(chunk: int = CHUNK_TOKENS,
+                      overlap: int = CHUNK_OVERLAP) -> str:
+    """Oracle interpolates the SAME chunk/overlap the operator uses, so
+    non-default arguments cannot desync operator and oracle."""
+    stride = int(chunk) - int(overlap)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tok
+  FROM documents
+), n AS (
+  SELECT doc_id, tok, len(tok) AS nt FROM toks
+), ex AS (
+  SELECT doc_id, tok, nt,
+         unnest(generate_series(0, CAST(floor((nt - 1) / {stride}.0) AS BIGINT))) AS gs
+  FROM n WHERE nt > 0
+)
+SELECT doc_id,
+       CAST(gs AS BIGINT) AS chunk_idx,
+       CAST(gs * {stride} AS BIGINT) AS start_tok,
+       CAST(least({int(chunk)}, nt - gs * {stride}) AS BIGINT) AS chunk_tokens,
+       array_to_string(tok[gs * {stride} + 1 : gs * {stride} + {int(chunk)}], ' ')
+           AS chunk_text
+FROM ex
+"""
+
+
+Q_CHUNK_WINDOWS_SQL = chunk_windows_sql()
+
+
+# ------------------------------------------ deterministic seeded shuffle
+
+SHUFFLE_SEED = 42
+
+
+def q_seeded_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED) -> "ray.data.Dataset":
+    """Deterministic global training shuffle: every doc gets a
+    content-independent pseudo-random key ``md5(seed || ':' || doc_id)``
+    and its exact GLOBAL position in the shuffled order — reproducible
+    across runs and cluster sizes (no RNG state, no
+    ``random_shuffle()`` nondeterminism), so a resumed training job
+    sees the same epoch order.
+
+    Scale shape: only the slim (doc_id, 32-byte key) rows enter the
+    range sort — the one unavoidable all-to-all, identical in cost to
+    any global shuffle — then positions come from the `pack_windows`
+    two-pass prefix trick: per-block counts fold on the driver (a few
+    hundred ints) and broadcast back as block offsets; no second
+    shuffle, no row data through the driver.
+    Columns: doc_id, shuffle_key, pos.
+    """
+    import hashlib
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        keys = [hashlib.md5(f"{seed}:{i}".encode()).hexdigest() for i in ids]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "shuffle_key": pa.array(keys, type=pa.string()),
+        })
+
+    # materialize so both passes see identical block boundaries (the
+    # pack_windows convention — sort sampling is not reproducible).
+    keyed = (ds.map_batches(key, batch_format="pyarrow")
+               .sort(["shuffle_key", "doc_id"]).materialize())
+
+    def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first_key": pa.array([], type=pa.string()),
+                             "first_id": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        return pa.table({
+            "first_key": pa.array([t.column("shuffle_key")[0].as_py()], type=pa.string()),
+            "first_id": pa.array([t.column("doc_id")[0].as_py()], type=pa.int64()),
+            "cnt": pa.array([t.num_rows], type=pa.int64()),
+        })
+
+    summaries = sorted(
+        ((r["first_key"], r["first_id"]), r["cnt"])
+        for r in keyed.map_batches(summarize, batch_size=None,
+                                   batch_format="pyarrow").take_all()
+    )
+    offsets: Dict[Any, int] = {}
+    acc = 0
+    for blk_key, cnt in summaries:
+        offsets[blk_key] = acc
+        acc += cnt
+
+    off_ref = ray.put(offsets)
+
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "shuffle_key": pa.array([], type=pa.string()),
+                             "pos": pa.array([], type=pa.int64())})
+        off = ray.get(off_ref)[(t.column("shuffle_key")[0].as_py(),
+                                t.column("doc_id")[0].as_py())]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "shuffle_key": t.column("shuffle_key"),
+            "pos": pa.array(off + np.arange(t.num_rows), type=pa.int64()),
+        })
+
+    return keyed.map_batches(emit, batch_size=None, batch_format="pyarrow")
+
+
+def seeded_shuffle_sql(seed: int = SHUFFLE_SEED) -> str:
+    return f"""
+SELECT doc_id,
+       md5('{int(seed)}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (
+            ORDER BY md5('{int(seed)}:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+            AS BIGINT) AS pos
+FROM documents
+"""
+
+
+Q_SEEDED_SHUFFLE_SQL = seeded_shuffle_sql()

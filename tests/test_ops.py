@@ -604,3 +604,48 @@ def test_cluster_keep_best_picks_longest_then_min_id(ray_session, tmp_path):
         assert keepers["doc_id"].iloc[0] == best
     # singletons (never clustered) are absent
     assert all(i < 8 for i in got["doc_id"])
+
+
+def test_chunk_windows_invariants(ray_session):
+    """Chunks tile each doc with the documented stride; overlap regions
+    are byte-identical between consecutive chunks; empty docs vanish."""
+    import duckdb
+
+    from deed_ocr_ray.pipelines.packing import (
+        CHUNK_OVERLAP, CHUNK_TOKENS, q_chunk_windows,
+    )
+
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    df = q_chunk_windows(SF).to_pandas().sort_values(["doc_id", "chunk_idx"])
+    assert (df["start_tok"] == df["chunk_idx"] * stride).all()
+    assert (df["chunk_tokens"] >= 1).all() and (df["chunk_tokens"] <= CHUNK_TOKENS).all()
+    # reconstruct one multi-chunk doc: stripping each chunk's first
+    # `overlap` tokens (after chunk 0) re-yields the whitespace-joined doc
+    multi = df[df["doc_id"].isin(df[df["chunk_idx"] > 0]["doc_id"])]
+    did = int(multi["doc_id"].iloc[0])
+    parts = []
+    for _, r in df[df["doc_id"] == did].iterrows():
+        toks = r["chunk_text"].split()
+        parts.extend(toks if r["chunk_idx"] == 0 else toks[CHUNK_OVERLAP:])
+    orig = duckdb.sql(
+        f"select text from read_parquet('{SF}/documents.parquet') where doc_id={did}"
+    ).fetchone()[0]
+    assert parts == orig.split()
+    # every non-empty doc is represented
+    n_nonempty = duckdb.sql(
+        f"select count(*) from read_parquet('{SF}/documents.parquet') where trim(text) <> ''"
+    ).fetchone()[0]
+    assert df["doc_id"].nunique() == n_nonempty
+
+
+def test_seeded_shuffle_is_deterministic_permutation(ray_session):
+    from deed_ocr_ray.pipelines.packing import q_seeded_shuffle
+
+    df = q_seeded_shuffle(SF).to_pandas().sort_values("pos")
+    assert list(df["pos"]) == list(range(len(df)))          # exact permutation
+    assert df["doc_id"].nunique() == len(df)
+    assert list(df["shuffle_key"]) == sorted(df["shuffle_key"])  # pos follows key order
+    again = q_seeded_shuffle(SF).to_pandas().sort_values("pos")
+    assert list(again["doc_id"]) == list(df["doc_id"])      # reproducible
+    other = q_seeded_shuffle(SF, seed=7).to_pandas().sort_values("pos")
+    assert list(other["doc_id"]) != list(df["doc_id"])      # seed changes order

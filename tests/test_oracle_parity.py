@@ -64,6 +64,8 @@ PARITY = [
     ("customer_ltv",),
     ("revenue_cube",),
     ("token_rarity",),
+    ("chunk_windows",),
+    ("seeded_shuffle",),
 ]
 
 
