@@ -142,8 +142,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": similarity.q_knn_cosine,
         "knn_ivf": similarity.q_knn_ivf,
         "embedding_neardup": similarity.q_embedding_neardup,
+        "pca_project": similarity.q_pca_project,
         "media_pipeline": multimodal.q_media_pipeline,
         "image_features": multimodal.q_image_features,
+        "audio_features": multimodal.q_audio_features,
         # flagship extraction (rows-only: non-SQL-expressible)
         "extract": _extract_query,
         "ensemble_extract": ensemble.q_ensemble_extract,

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "lm_score",
     "chunk_windows",
     "seeded_shuffle",
+    "pca_project",
 ]
 
 

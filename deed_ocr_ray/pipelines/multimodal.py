@@ -37,7 +37,10 @@ from ..functions.imagecodec import (
     resize_nearest,
 )
 from ..functions.jpegcodec import JPEG_MAGIC, decode_jpeg, jpeg_info
+from ..functions.wavcodec import WAV_MAGIC, audio_features, decode_wav, wav_info
 
+# For audio payloads the image-shaped fields carry (width := n_samples,
+# height := channels); n_frames stays 1.
 MEDIA_META_TYPE = pa.struct(
     [
         ("format", pa.string()),
@@ -57,6 +60,8 @@ def sniff_media(payload: bytes) -> str:
         return "ppm"
     if payload.startswith(JPEG_MAGIC):
         return "jpeg"
+    if payload.startswith(WAV_MAGIC) and payload[8:12] == b"WAVE":
+        return "wav"
     return "unknown"
 
 
@@ -119,6 +124,8 @@ class MediaDecoder:
                 h, w = arr.shape[:2]
             elif kind == "jpeg":
                 w, h, _ = jpeg_info(payload)
+            elif kind == "wav":
+                w, h, _rate = wav_info(payload)  # n_samples, channels
             elif self.require_real_codecs:
                 decode_image(payload)  # raises NotImplementedError
                 raise AssertionError("unreachable")
@@ -274,4 +281,75 @@ def q_image_features(sf_dir: str) -> "ray.data.Dataset":
 
     ds = ds.map_batches(make_payloads, batch_format="pyarrow")
     return ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                          batch_size=64, concurrency=(1, 4))
+
+
+class AudioFeatures:
+    """Actor-pool stage doing REAL signal work per row: PCM WAV decode
+    (``functions/wavcodec.py``) → mono mix → numpy features (RMS,
+    zero-crossing rate, rFFT spectral centroid). The audio sibling of
+    ``ImageFeatures`` — same fat-row guidance (small batches)."""
+
+    def __init__(self, payload_column: str = "payload") -> None:
+        self.payload_column = payload_column
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cols = {"doc_id": [], "n_samples": [], "channels": [],
+                "sample_rate": [], "duration_s": [], "rms": [],
+                "zcr": [], "centroid_hz": []}
+        for did, p in zip(t["doc_id"].to_pylist(), t[self.payload_column].to_pylist()):
+            samples, rate = decode_wav(bytes(p))
+            f = audio_features(samples, rate)
+            cols["doc_id"].append(did)
+            cols["n_samples"].append(samples.shape[0])
+            cols["channels"].append(samples.shape[1])
+            cols["sample_rate"].append(rate)
+            for k in ("duration_s", "rms", "zcr", "centroid_hz"):
+                cols[k].append(f[k])
+        return pa.table({
+            "doc_id": pa.array(cols["doc_id"], type=pa.int64()),
+            "n_samples": pa.array(cols["n_samples"], type=pa.int64()),
+            "channels": pa.array(cols["channels"], type=pa.int32()),
+            "sample_rate": pa.array(cols["sample_rate"], type=pa.int32()),
+            "duration_s": pa.array(cols["duration_s"], type=pa.float64()),
+            "rms": pa.array(cols["rms"], type=pa.float64()),
+            "zcr": pa.array(cols["zcr"], type=pa.float64()),
+            "centroid_hz": pa.array(cols["centroid_hz"], type=pa.float64()),
+        })
+
+
+def synth_wav(doc_id: int, rate: int = 8000, n: int = 1024) -> bytes:
+    """Deterministic PCM-WAV payload for a doc_id: a two-tone sine
+    mixture whose frequencies derive from the id (so centroid/zcr vary
+    meaningfully across docs); stereo for odd ids, 8-bit for every
+    fifth, exercising the codec's layout paths."""
+    from ..functions.wavcodec import encode_wav
+
+    f1 = 200.0 + (doc_id * 37) % 1800
+    f2 = 150.0 + (doc_id * 53) % 2400
+    t = np.arange(n, dtype=np.float64) / rate
+    mono = 0.6 * np.sin(2 * np.pi * f1 * t) + 0.3 * np.sin(2 * np.pi * f2 * t)
+    sig = np.stack([mono, -mono], axis=1) if doc_id % 2 else mono
+    return encode_wav(sig, sample_rate=rate, bits=8 if doc_id % 5 == 0 else 16)
+
+
+def q_audio_features(sf_dir: str) -> "ray.data.Dataset":
+    """REAL audio pipeline: deterministic PCM-WAV payloads (mono/stereo,
+    8/16-bit) → in-repo decode → numpy signal features, in actor-pool
+    stages with small batches. Columns: doc_id, n_samples, channels,
+    sample_rate, duration_s, rms, zcr, centroid_hz. (No SQL oracle:
+    FFT math not expressible in SQL; exactness vs a local decode is
+    asserted in tests.)"""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def make_payloads(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pa.array(
+                [synth_wav(int(d)) for d in t["doc_id"].to_pylist()],
+                type=pa.binary()),
+        })
+
+    ds = ds.map_batches(make_payloads, batch_format="pyarrow")
+    return ds.map_batches(AudioFeatures, batch_format="pyarrow",
                           batch_size=64, concurrency=(1, 4))

@@ -310,3 +310,81 @@ def q_embedding_neardup(
         })
 
     return ds.groupby("label").map_groups(pairs, batch_format="pandas")
+
+
+# --------------------------------------------------- distributed PCA
+
+PCA_COMPONENTS = 4
+
+
+def pca_fit(sf_dir: str, k: int = PCA_COMPONENTS):
+    """Fit PCA over the embeddings table with ONE streaming pass of
+    mergeable moment partials: each block emits (count, sum-vector,
+    gram-matrix sum) — d + d² floats (32 KiB at d=64) regardless of
+    block size — and the driver folds them into the covariance and runs
+    the d×d eigendecomposition locally (d is small; the corpus is not).
+    Deterministic: float64 throughout, components sign-fixed so each
+    one's largest-|coefficient| entry is positive.
+
+    Returns (mean, components[k, d], explained_variance_ratio[k]).
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        if m.size == 0:
+            m = np.zeros((0, 1))
+        return pa.table({
+            "n": pa.array([m.shape[0]], type=pa.int64()),
+            "s": pa.array([m.sum(axis=0)], type=pa.list_(pa.float64())),
+            "g": pa.array([(m.T @ m).ravel()], type=pa.list_(pa.float64())),
+        })
+
+    rows = [r for r in ds.map_batches(partials, batch_format="pyarrow").take_all()
+            if r["n"] > 0]
+    n = sum(r["n"] for r in rows)
+    d = len(rows[0]["s"])
+    s = np.zeros(d); g = np.zeros((d, d))
+    for r in rows:
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(d, d)
+    mean = s / n
+    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T                   # [k, d]
+    # deterministic sign: largest-|coeff| entry of each component > 0
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ratio = evals[order] / evals.sum()
+    return mean, comps, ratio
+
+
+def q_pca_project(sf_dir: str, k: int = PCA_COMPONENTS) -> "ray.data.Dataset":
+    """Project every embedding onto the top-k principal components of
+    the corpus — the dimensionality-reduction pass before clustering /
+    visualization / cheap ANN. Fit is one partial-moment pass
+    (``pca_fit``); the (mean, components) pair is broadcast once via
+    ``ray.put`` and the projection pass is a single vectorized
+    ``map_batches`` matmul. Columns: vec_id, label, pc0..pc{k-1}.
+    (No SQL oracle: eigendecomposition — rows-only check; exactness vs
+    single-machine numpy PCA asserted in tests.)"""
+    mean, comps, _ = pca_fit(sf_dir, k)
+    ref = ray.put((mean, comps))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "label", "embedding"])
+
+    def project(t: pa.Table) -> pa.Table:
+        mu, c = ray.get(ref)
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        proj = (m - mu) @ c.T if m.size else np.zeros((0, c.shape[0]))
+        cols = {"vec_id": t["vec_id"], "label": t["label"]}
+        for i in range(c.shape[0]):
+            cols[f"pc{i}"] = pa.array(proj[:, i], type=pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")

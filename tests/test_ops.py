@@ -649,3 +649,41 @@ def test_seeded_shuffle_is_deterministic_permutation(ray_session):
     assert list(again["doc_id"]) == list(df["doc_id"])      # reproducible
     other = q_seeded_shuffle(SF, seed=7).to_pandas().sort_values("pos")
     assert list(other["doc_id"]) != list(df["doc_id"])      # seed changes order
+
+
+def test_pca_matches_single_machine_numpy(ray_session):
+    """Distributed moment-partial PCA must equal a straight numpy PCA
+    of the whole table (same sign convention), and projections must
+    decorrelate with variances matching the eigenvalues."""
+    import pyarrow.parquet as pq
+
+    from deed_ocr_ray.pipelines.similarity import (
+        PCA_COMPONENTS, pca_fit, q_pca_project,
+    )
+
+    m = np.array(pq.read_table(f"{SF}/embeddings.parquet")["embedding"].to_pylist(),
+                 dtype=np.float64)
+    mu = m.mean(axis=0)
+    cov = np.cov(m, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:PCA_COMPONENTS]
+    want = evecs[:, order].T
+    for i in range(want.shape[0]):
+        j = int(np.argmax(np.abs(want[i])))
+        if want[i, j] < 0:
+            want[i] = -want[i]
+
+    mean, comps, ratio = pca_fit(SF)
+    np.testing.assert_allclose(mean, mu, rtol=1e-10)
+    np.testing.assert_allclose(comps, want, rtol=1e-7, atol=1e-9)
+    assert ratio[0] >= ratio[-1] > 0
+
+    df = q_pca_project(SF).to_pandas().sort_values("vec_id")
+    assert len(df) == 500
+    pcs = df[[f"pc{i}" for i in range(PCA_COMPONENTS)]].to_numpy()
+    np.testing.assert_allclose(pcs, (m - mu) @ want.T, rtol=1e-7, atol=1e-8)
+    # decorrelated: off-diagonal covariance of scores ~ 0
+    c = np.cov(pcs, rowvar=False)
+    off = c - np.diag(np.diag(c))
+    assert np.abs(off).max() < 1e-8 * np.abs(np.diag(c)).max() + 1e-12
+    np.testing.assert_allclose(np.diag(c), evals[order], rtol=1e-7)
