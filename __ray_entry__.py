@@ -128,7 +128,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from deed_ocr_ray.pipelines import (
-        analysis, curation, dedup, ensemble, multimodal, packing, prep,
+        analysis, bpe, curation, dedup, ensemble, multimodal, packing, prep,
         relational, similarity, sketches, textops, windows,
     )
 
@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mixture": curation.q_source_mixture,
         "token_budget": curation.q_token_budget,
         "decontaminate": curation.q_decontaminate,
+        "snapshot_diff": curation.q_snapshot_diff,
         "grouped_percentiles": analysis.q_grouped_percentiles,
         "price_deciles": analysis.q_price_deciles,
         "lang_pivot": analysis.q_lang_pivot,
@@ -228,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": packing.q_kmeans,
         "chunk_windows": packing.q_chunk_windows,
         "seeded_shuffle": packing.q_seeded_shuffle,
+        "bpe_merges": bpe.q_bpe_merges,
+        "bpe_tokenize": bpe.q_bpe_tokenize,
         # dedup family
         "exact_dedup": dedup.q_exact_dedup,
         "minhash_pairs": dedup.q_minhash_pairs,
@@ -313,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
         "source_mixture": curation.Q_SOURCE_MIXTURE_SQL,
         "token_budget": curation.Q_TOKEN_BUDGET_SQL,
         "decontaminate": curation.Q_DECONTAMINATE_SQL,
+        "snapshot_diff": curation.Q_SNAPSHOT_DIFF_SQL,
         "grouped_percentiles": analysis.Q_GROUPED_PERCENTILES_SQL,
         "price_deciles": analysis.Q_PRICE_DECILES_SQL,
         "lang_pivot": analysis.Q_LANG_PIVOT_SQL,

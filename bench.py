@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "chunk_windows",
     "seeded_shuffle",
     "pca_project",
+    "bpe_tokenize",
+    "snapshot_diff",
 ]
 
 

@@ -728,3 +728,95 @@ WHERE t.doc_id % {int(bench_mod)} <> 0
 
 
 Q_DECONTAMINATE_SQL = decontaminate_sql()
+
+
+# ------------------------------------------------------ snapshot diff
+
+DIFF_DROP_MOD = 13     # docs removed in snapshot B
+DIFF_EDIT_MOD = 7      # docs whose text changed in snapshot B
+DIFF_ADD_MOD = 11      # docs with a NEW derived doc in snapshot B
+DIFF_ADD_BASE = 1_000_000
+
+
+def q_snapshot_diff(sf_dir: str) -> "ray.data.Dataset":
+    """Dataset-versioning diff between two corpus snapshots: which docs
+    were added / removed / changed between crawl A and crawl B — the
+    incremental-refresh primitive (re-process only the delta, not the
+    100 TB). Snapshot B is derived DETERMINISTICALLY from the documents
+    table (drop ``doc_id % 13 == 0``, upper-case ``% 7 == 0``, add a
+    ``+1e6``-keyed variant for ``% 11 == 0``) so the oracle constructs
+    the identical pair of snapshots in SQL.
+
+    Scale shape: ONE read emits both sides' slim (doc_id, fp) rows from
+    the same batch — the text is hashed in place and never crosses the
+    exchange; one groupby folds the two sides (string-max over
+    side-tagged fp columns, '' as the absent sentinel) and a vectorized
+    classify keeps only the delta rows. Columns: doc_id, change
+    ('added' | 'removed' | 'changed').
+    """
+    import hashlib as _hl
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def emit_sides(t: pa.Table) -> pa.Table:
+        ids: List[int] = []; a_fp: List[str] = []; b_fp: List[str] = []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            fp = _hl.md5(txt.encode()).hexdigest()
+            ids.append(did); a_fp.append(fp); b_fp.append("")
+            if did % DIFF_DROP_MOD != 0:
+                bt = txt.upper() if did % DIFF_EDIT_MOD == 0 else txt
+                ids.append(did); a_fp.append("")
+                b_fp.append(_hl.md5(bt.encode()).hexdigest())
+            if did % DIFF_ADD_MOD == 0:
+                ids.append(did + DIFF_ADD_BASE); a_fp.append("")
+                b_fp.append(_hl.md5((txt + " v2").encode()).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "a_fp": pa.array(a_fp, type=pa.string()),
+            "b_fp": pa.array(b_fp, type=pa.string()),
+        })
+
+    agg = (ds.map_batches(emit_sides, batch_format="pyarrow")
+             .groupby("doc_id")
+             .aggregate(Max("a_fp", alias_name="a_fp"),
+                        Max("b_fp", alias_name="b_fp")))
+
+    def classify(t: pa.Table) -> pa.Table:
+        a = t["a_fp"]; b = t["b_fp"]
+        has_a = pc.not_equal(a, "")
+        has_b = pc.not_equal(b, "")
+        change = pc.if_else(
+            pc.invert(has_a), pa.scalar("added"),
+            pc.if_else(pc.invert(has_b), pa.scalar("removed"),
+                       pc.if_else(pc.not_equal(a, b), pa.scalar("changed"),
+                                  pa.scalar("unchanged"))))
+        out = pa.table({"doc_id": t["doc_id"], "change": change})
+        return out.filter(pc.not_equal(change, "unchanged"))
+
+    return agg.map_batches(classify, batch_format="pyarrow")
+
+
+Q_SNAPSHOT_DIFF_SQL = f"""
+WITH a AS (SELECT doc_id, md5(text) AS fp FROM documents),
+b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0 THEN upper(text)
+                  ELSE text END) AS fp
+  FROM documents WHERE doc_id % {DIFF_DROP_MOD} <> 0
+  UNION ALL
+  SELECT doc_id + {DIFF_ADD_BASE}, md5(text || ' v2')
+  FROM documents WHERE doc_id % {DIFF_ADD_MOD} = 0
+)
+SELECT doc_id, change FROM (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.fp <> b.fp THEN 'changed'
+              ELSE 'unchanged' END AS change
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+) WHERE change <> 'unchanged'
+"""

@@ -66,6 +66,7 @@ PARITY = [
     ("token_rarity",),
     ("chunk_windows",),
     ("seeded_shuffle",),
+    ("snapshot_diff",),
 ]
 
 
