@@ -138,7 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # FIRST (similarity + multimodal), then the flagship family, then
     # the oracle-green bulk.
     return {
-        # round-2 gate gap: never/rarely driver-checked — keep first
+        # round-2 gate gap + round-3 newcomers: never/rarely
+        # driver-checked — keep first
         "knn_cosine": similarity.q_knn_cosine,
         "knn_ivf": similarity.q_knn_ivf,
         "embedding_neardup": similarity.q_embedding_neardup,
@@ -146,6 +147,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_pipeline": multimodal.q_media_pipeline,
         "image_features": multimodal.q_image_features,
         "audio_features": multimodal.q_audio_features,
+        "chunk_windows": packing.q_chunk_windows,
+        "seeded_shuffle": packing.q_seeded_shuffle,
+        "bpe_merges": bpe.q_bpe_merges,
+        "bpe_tokenize": bpe.q_bpe_tokenize,
+        "snapshot_diff": curation.q_snapshot_diff,
         # flagship extraction (rows-only: non-SQL-expressible)
         "extract": _extract_query,
         "ensemble_extract": ensemble.q_ensemble_extract,
@@ -216,7 +222,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mixture": curation.q_source_mixture,
         "token_budget": curation.q_token_budget,
         "decontaminate": curation.q_decontaminate,
-        "snapshot_diff": curation.q_snapshot_diff,
         "grouped_percentiles": analysis.q_grouped_percentiles,
         "price_deciles": analysis.q_price_deciles,
         "lang_pivot": analysis.q_lang_pivot,
@@ -227,10 +232,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # packing / iterative (prefix-sum + Lloyd's)
         "pack_windows": packing.q_pack_windows,
         "kmeans": packing.q_kmeans,
-        "chunk_windows": packing.q_chunk_windows,
-        "seeded_shuffle": packing.q_seeded_shuffle,
-        "bpe_merges": bpe.q_bpe_merges,
-        "bpe_tokenize": bpe.q_bpe_tokenize,
         # dedup family
         "exact_dedup": dedup.q_exact_dedup,
         "minhash_pairs": dedup.q_minhash_pairs,
