@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": bpe.q_bpe_merges,
         "bpe_tokenize": bpe.q_bpe_tokenize,
         "snapshot_diff": curation.q_snapshot_diff,
+        "interleave_sources": packing.q_interleave_sources,
         # flagship extraction (rows-only: non-SQL-expressible)
         "extract": _extract_query,
         "ensemble_extract": ensemble.q_ensemble_extract,
@@ -290,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_windows": packing.Q_PACK_WINDOWS_SQL,
         "chunk_windows": packing.Q_CHUNK_WINDOWS_SQL,
         "seeded_shuffle": packing.Q_SEEDED_SHUFFLE_SQL,
+        "interleave_sources": packing.Q_INTERLEAVE_SOURCES_SQL,
         "corpus_filter": textops.Q_CORPUS_FILTER_SQL,
         "exact_dedup": dedup.Q_EXACT_DEDUP_SQL,
         "jaccard_adjacent": dedup.Q_JACCARD_ADJ_SQL,

@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "pca_project",
     "bpe_tokenize",
     "snapshot_diff",
+    "interleave_sources",
 ]
 
 

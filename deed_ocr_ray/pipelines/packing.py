@@ -352,3 +352,160 @@ FROM documents
 
 
 Q_SEEDED_SHUFFLE_SQL = seeded_shuffle_sql()
+
+
+# ------------------------------------------ source-interleaved epoch order
+
+def _block_start_offsets(keyed: "ray.data.Dataset",
+                         key_cols: List[str]) -> "ray.ObjectRef":
+    """Per-block start offsets for a SORTED (materialized) dataset: each
+    block reports (first-row key tuple, row count); the driver folds the
+    tiny list into a cumulative offset per block and broadcasts it.
+    The generalization of `q_pack_windows`'s pass-1 trick."""
+    def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {c: pa.array([], type=keyed.schema().field(c).type)
+                    for c in key_cols}
+            cols["cnt"] = pa.array([], type=pa.int64())
+            return pa.table(cols)
+        cols = {c: t.column(c).slice(0, 1) for c in key_cols}
+        cols["cnt"] = pa.array([t.num_rows], type=pa.int64())
+        return pa.table(cols)
+
+    rows = keyed.map_batches(summarize, batch_size=None,
+                             batch_format="pyarrow").take_all()
+    summaries = sorted((tuple(r[c] for c in key_cols), r["cnt"]) for r in rows)
+    offsets: Dict[Any, int] = {}
+    acc = 0
+    for blk_key, cnt in summaries:
+        offsets[blk_key] = acc
+        acc += cnt
+    return ray.put(offsets)
+
+
+def q_interleave_sources(sf_dir: str, seed: int = SHUFFLE_SEED) -> "ray.data.Dataset":
+    """Source-balanced epoch order: shuffle WITHIN each source
+    deterministically (md5 rank), then interleave sources round-robin —
+    position = global rank by (within-source rank, source). With equal
+    source sizes every consecutive window of the epoch carries every
+    source once; skewed sources simply run out early (proportional
+    front-loading), matching how mixture schedulers spread a small
+    high-quality source across the epoch instead of clumping it.
+
+    Scale shape: two range sorts over slim (doc_id, source, 32-byte
+    key) rows — the heavyweight text never moves — each followed by the
+    block-offset broadcast pass; within-source ranks come from per-block
+    (block, source)-segment offsets folded on the driver (O(blocks ×
+    sources-per-block) ints). Columns: doc_id, source, rn, pos.
+    """
+    import hashlib
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "skey": pa.array(
+                [hashlib.md5(f"{seed}:{i}".encode()).hexdigest() for i in ids],
+                type=pa.string()),
+        })
+
+    by_src = (ds.map_batches(key, batch_format="pyarrow")
+                .sort(["source", "skey", "doc_id"]).materialize())
+
+    # pass 1: per-(block, source-segment) counts -> within-source offsets.
+    # The block id is the TYPED (source, skey, doc_id) tuple of the
+    # block's first row: tuple comparison matches the Dataset sort order
+    # exactly (a joined-string key would not — e.g. 'src1' vs 'src10'
+    # order flips around the separator byte).
+    def seg_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"b_source": pa.array([], type=pa.string()),
+                             "b_skey": pa.array([], type=pa.string()),
+                             "b_doc": pa.array([], type=pa.int64()),
+                             "seg_source": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        bounds = np.flatnonzero(np.concatenate(([True], src[1:] != src[:-1])))
+        counts = np.diff(np.concatenate((bounds, [len(src)])))
+        n = len(bounds)
+        return pa.table({
+            "b_source": pa.array([src[0]] * n, type=pa.string()),
+            "b_skey": pa.array([t["skey"][0].as_py()] * n, type=pa.string()),
+            "b_doc": pa.array([t["doc_id"][0].as_py()] * n, type=pa.int64()),
+            "seg_source": pa.array(src[bounds], type=pa.string()),
+            "cnt": pa.array(counts, type=pa.int64()),
+        })
+
+    segs = by_src.map_batches(seg_summary, batch_size=None,
+                              batch_format="pyarrow").take_all()
+    # within each source, segments accumulate in global block order
+    segs.sort(key=lambda r: (r["seg_source"], r["b_source"], r["b_skey"], r["b_doc"]))
+    src_acc: Dict[str, int] = {}
+    seg_off: Dict[Any, int] = {}
+    for r in segs:
+        s = r["seg_source"]
+        seg_off[(r["b_source"], r["b_skey"], r["b_doc"], s)] = src_acc.get(s, 0)
+        src_acc[s] = src_acc.get(s, 0) + r["cnt"]
+    off_ref = ray.put(seg_off)
+
+    def emit_rn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "source": pa.array([], type=pa.string()),
+                             "rn": pa.array([], type=pa.int64())})
+        off = ray.get(off_ref)
+        blk = (t["source"][0].as_py(), t["skey"][0].as_py(), t["doc_id"][0].as_py())
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        bounds = np.flatnonzero(np.concatenate(([True], src[1:] != src[:-1])))
+        ends = np.concatenate((bounds[1:], [len(src)]))
+        rn = np.empty(len(src), dtype=np.int64)
+        for b, e in zip(bounds, ends):
+            rn[b:e] = off[blk + (src[b],)] + np.arange(e - b)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "rn": pa.array(rn, type=pa.int64()),
+        })
+
+    ranked = (by_src.map_batches(emit_rn, batch_size=None, batch_format="pyarrow")
+                    .sort(["rn", "source", "doc_id"]).materialize())
+
+    pos_ref = _block_start_offsets(ranked, ["rn", "source", "doc_id"])
+
+    def emit_pos(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "source": pa.array([], type=pa.string()),
+                             "rn": pa.array([], type=pa.int64()),
+                             "pos": pa.array([], type=pa.int64())})
+        off = ray.get(pos_ref)[(t["rn"][0].as_py(), t["source"][0].as_py(),
+                                t["doc_id"][0].as_py())]
+        return t.append_column("pos", pa.array(off + np.arange(t.num_rows),
+                                               type=pa.int64()))
+
+    return ranked.map_batches(emit_pos, batch_size=None, batch_format="pyarrow")
+
+
+def interleave_sources_sql(seed: int = SHUFFLE_SEED) -> str:
+    return f"""
+WITH k AS (
+  SELECT doc_id, source,
+         md5('{int(seed)}:' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY skey, doc_id) - 1 AS BIGINT) AS rn
+  FROM k
+)
+SELECT doc_id, source, rn,
+       CAST(ROW_NUMBER() OVER (ORDER BY rn, source, doc_id) - 1 AS BIGINT) AS pos
+FROM r
+"""
+
+
+Q_INTERLEAVE_SOURCES_SQL = interleave_sources_sql()

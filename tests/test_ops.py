@@ -687,3 +687,22 @@ def test_pca_matches_single_machine_numpy(ray_session):
     off = c - np.diag(np.diag(c))
     assert np.abs(off).max() < 1e-8 * np.abs(np.diag(c)).max() + 1e-12
     np.testing.assert_allclose(np.diag(c), evals[order], rtol=1e-7)
+
+
+def test_interleave_sources_round_robin(ray_session):
+    """Equal-size sources: every consecutive window of n_sources
+    positions carries each source exactly once; within-source order
+    follows the seeded shuffle key."""
+    from deed_ocr_ray.pipelines.packing import q_interleave_sources
+
+    df = q_interleave_sources(SF).to_pandas().sort_values("pos")
+    assert list(df["pos"]) == list(range(len(df)))
+    n_src = df["source"].nunique()
+    assert len(df) % n_src == 0
+    for w in range(0, len(df), n_src):
+        window = df.iloc[w:w + n_src]
+        assert window["source"].nunique() == n_src, f"window {w} clumped"
+        assert (window["rn"] == w // n_src).all()
+    # rn is a 0..k-1 permutation within each source
+    for _, g in df.groupby("source"):
+        assert sorted(g["rn"]) == list(range(len(g)))

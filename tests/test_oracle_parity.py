@@ -67,6 +67,7 @@ PARITY = [
     ("chunk_windows",),
     ("seeded_shuffle",),
     ("snapshot_diff",),
+    ("interleave_sources",),
 ]
 
 
