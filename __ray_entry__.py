@@ -128,8 +128,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from deed_ocr_ray.pipelines import (
-        analysis, bpe, curation, dedup, ensemble, multimodal, packing, prep,
-        relational, similarity, sketches, textops, windows,
+        analysis, bpe, curation, dedup, ensemble, linkgraph, multimodal,
+        packing, prep, relational, similarity, sketches, textops, windows,
     )
 
     # NOTE on ordering: the driver walks this dict in insertion order;
@@ -153,6 +153,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenize": bpe.q_bpe_tokenize,
         "snapshot_diff": curation.q_snapshot_diff,
         "interleave_sources": packing.q_interleave_sources,
+        # link graph family (round 3; rows-only: HTML parse + iterative)
+        "outlinks": linkgraph.q_outlinks,
+        "host_graph": linkgraph.q_host_graph,
+        "host_degree": linkgraph.q_host_degree,
+        "pagerank": linkgraph.q_pagerank,
         # flagship extraction (rows-only: non-SQL-expressible)
         "extract": _extract_query,
         "ensemble_extract": ensemble.q_ensemble_extract,

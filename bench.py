@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "bpe_tokenize",
     "snapshot_diff",
     "interleave_sources",
+    "host_graph",
+    "pagerank",
 ]
 
 
@@ -84,10 +86,12 @@ def bench_corpus(sf_dir: str) -> str:
 
     from deed_ocr_ray.fixtures import write_pages_corpus
 
+    from deed_ocr_ray.pipelines.corpus import FIXTURES_VERSION
+
     n = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     n *= DOCS_MULT
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = f"/tmp/deed_ocr_ray_bench/{name}_{n}_s{BENCH_SEED}"
+    out = f"/tmp/deed_ocr_ray_bench/{name}_{n}_s{BENCH_SEED}_v{FIXTURES_VERSION}"
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):
         import shutil

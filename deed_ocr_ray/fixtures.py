@@ -92,16 +92,29 @@ def _deed_sentences(rng: random.Random) -> List[str]:
 
 # ------------------------------------------------------------- html builders
 
+def _link_host(w: str) -> str:
+    """Deterministic cross-host link target for an anchor word: maps into
+    the same 37-host universe as :func:`_url`, so the synthetic corpus
+    carries a real host-level link graph (hosts that have pages also
+    receive links). Pure function of the word — adds NO rng draws, so
+    document text (and the frozen extraction goldens) stay byte-identical
+    to the relative-href corpus."""
+    import zlib
+
+    return f"site{zlib.crc32(w.encode()) % 37:03d}.example"
+
+
 def _nav(rng: random.Random) -> str:
     items = "".join(
-        f'<li><a href="/{w}">{w.capitalize()}</a></li>'
+        f'<li><a href="https://{_link_host(w)}/{w}">{w.capitalize()}</a></li>'
         for w in rng.sample(_CONTENT_WORDS, rng.randint(4, 8))
     )
     return f"<nav><ul>{items}</ul></nav>"
 
 def _linkfarm(rng: random.Random) -> str:
     links = " | ".join(
-        f'<a href="/t/{w}">{w}</a>' for w in rng.sample(_CONTENT_WORDS, rng.randint(8, 14))
+        f'<a href="//{_link_host(w)}/t/{w}">{w}</a>'
+        for w in rng.sample(_CONTENT_WORDS, rng.randint(8, 14))
     )
     return f'<div class="links">{links}</div>'
 

@@ -1,0 +1,343 @@
+"""Host-level link-graph operators over the pages corpus.
+
+The web-pipeline counterpart of the reference's cross-document
+bookkeeping (deed_ocr/workflow.py:600-616 tracks per-document
+relationships during dedup): extract every ``<a href>`` edge from the
+HTML payloads, aggregate to a weighted host→host graph, and run
+PageRank over it — the classic corpus-level quality prior used to
+weight training data by source authority.
+
+Shuffle-conscious shapes (these hold at 10^12 documents / 10^8 hosts):
+
+* **outlinks** is an embarrassingly-parallel ``map_batches`` scan —
+  compiled module-level regexes, task pool (worker reuse keeps the
+  regex cache warm; NOTES.md "actor-pool concurrency on short stages
+  loses to task-pool"); only ``(url, html)`` columns leave the read.
+* **host_graph** pre-aggregates edges per batch (pandas groupby) before
+  the global ``groupby(src_host, dst_host)`` — the exchange carries
+  distinct host-pairs per block, not one row per anchor tag.
+* **pagerank** iterates over HOST-cardinality tables only (ranks and
+  edges, never documents): one distributed hash join (ranks ⋈ edges on
+  src) + one ``groupby(dst)`` sum per iteration, dangling mass from a
+  scalar aggregate of the (tiny, host-sized) contribution table. Each
+  iteration ends in a ``materialize()`` barrier — same two Ray 2.49
+  landmines the dedup joins hit (empty-block schema broadcast race,
+  join+groupby single-plan deadlock; see dedup._coalesce_for_join).
+"""
+
+from __future__ import annotations
+
+import html as _htmllib
+import re
+from typing import List, Optional
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..functions.sniff import JUNK_REPLACEMENT_RATIO, decode_html
+from .corpus import pages_corpus_for
+
+# href value: double-quoted, single-quoted, or unquoted; anchor body is
+# non-greedy to the nearest close tag (nested <a> is invalid HTML).
+_ANCHOR_RE = re.compile(
+    r"""<a\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a>""",
+    re.I | re.S,
+)
+_TAG_RE = re.compile(r"<[^>]*>")
+_SKIP_SCHEMES = ("javascript:", "mailto:", "data:", "tel:", "about:")
+
+
+def host_of_url(url: str) -> str:
+    """Lowercased host of an absolute URL (port and userinfo stripped)."""
+    rest = url.split("://", 1)[-1]
+    host = rest.split("/", 1)[0].split("?", 1)[0].split("#", 1)[0]
+    return host.rsplit("@", 1)[-1].split(":", 1)[0].lower()
+
+
+def resolve_link_host(href: str, src_host: str) -> Optional[str]:
+    """Destination host of an anchor href, or ``None`` for non-page
+    links. Absolute (``http(s)://``) and protocol-relative (``//``)
+    hrefs carry their own host; every other non-empty href is
+    document-relative and resolves to the source host."""
+    h = href.strip()
+    if not h or h.startswith("#"):
+        return None
+    low = h.lower()
+    if low.startswith(_SKIP_SCHEMES):
+        return None
+    if low.startswith(("http://", "https://")):
+        rest = h.split("://", 1)[1]
+    elif h.startswith("//"):
+        rest = h[2:]
+    else:
+        return src_host
+    host = rest.split("/", 1)[0].split("?", 1)[0].split("#", 1)[0]
+    host = host.rsplit("@", 1)[-1].split(":", 1)[0].lower()
+    return host or None
+
+
+def _anchor_text(body: str) -> str:
+    """Inner text of an anchor: tags stripped, entities unescaped,
+    whitespace collapsed (link-graph-local normalization — anchor text
+    is a retrieval signal here, not part of the extraction contract)."""
+    return " ".join(_htmllib.unescape(_TAG_RE.sub(" ", body)).split())
+
+
+def _extract_links_batch(t: pa.Table) -> pa.Table:
+    src_urls: List[str] = []
+    dst_hosts: List[str] = []
+    hrefs: List[str] = []
+    anchors: List[str] = []
+    internals: List[bool] = []
+    for url, raw in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+        if not raw or raw[:4] == b"%PDF":
+            continue
+        text, bad = decode_html(raw)
+        if bad > JUNK_REPLACEMENT_RATIO:
+            continue
+        src_host = host_of_url(url)
+        for m in _ANCHOR_RE.finditer(text):
+            href = m.group(1) or m.group(2) or m.group(3) or ""
+            dst = resolve_link_host(href, src_host)
+            if dst is None:
+                continue
+            src_urls.append(url)
+            dst_hosts.append(dst)
+            hrefs.append(href)
+            anchors.append(_anchor_text(m.group(4)))
+            internals.append(dst == src_host)
+    src_arr = pa.array(src_urls, type=pa.string())
+    return pa.table({
+        "src_url": src_arr,
+        "src_host": pa.array([host_of_url(u) for u in src_urls], type=pa.string()),
+        "dst_host": pa.array(dst_hosts, type=pa.string()),
+        "href": pa.array(hrefs, type=pa.string()),
+        "anchor": pa.array(anchors, type=pa.string()),
+        "internal": pa.array(internals, type=pa.bool_()),
+    })
+
+
+def outlinks_dataset(pages: "ray.data.Dataset") -> "ray.data.Dataset":
+    """One row per resolvable anchor edge in the HTML payloads."""
+    return pages.map_batches(_extract_links_batch, batch_format="pyarrow")
+
+
+def q_outlinks(sf_dir: str) -> "ray.data.Dataset":
+    """Anchor-edge extraction over the pages corpus.
+    Columns: src_url, src_host, dst_host, href, anchor, internal.
+    (No SQL oracle: HTML parse over the synthesized corpus; covered by
+    exactness pytests on crafted anchors + golden corpus counts.)"""
+    from ..sources.pages import read_pages
+
+    corpus = pages_corpus_for(sf_dir)
+    return outlinks_dataset(read_pages(corpus, columns=["url", "html"]))
+
+
+def _edge_partial(t: pa.Table) -> pa.Table:
+    df = pd.DataFrame({
+        "src_host": t["src_host"].to_pandas(),
+        "dst_host": t["dst_host"].to_pandas(),
+    })
+    cnt = (
+        df.groupby(["src_host", "dst_host"], sort=False)
+        .size()
+        .reset_index(name="n_links")
+    )
+    return pa.table({
+        "src_host": pa.array(cnt["src_host"].tolist(), type=pa.string()),
+        "dst_host": pa.array(cnt["dst_host"].tolist(), type=pa.string()),
+        "n_links": pa.array(cnt["n_links"].to_numpy(), type=pa.int64()),
+    })
+
+
+def host_graph_dataset(links: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Weighted host→host edge list from an outlinks Dataset. Per-batch
+    combiner first: the groupby exchange moves distinct host-pairs per
+    block, never one row per anchor."""
+    return (
+        links.map_batches(_edge_partial, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n_links", alias_name="n_links"))
+    )
+
+
+def q_host_graph(sf_dir: str) -> "ray.data.Dataset":
+    """Weighted host-level link graph over the pages corpus.
+    Columns: src_host, dst_host, n_links. (No SQL oracle: derives from
+    the HTML parse; exactness pinned by pytest vs a single-process
+    reference count.)"""
+    return host_graph_dataset(q_outlinks(sf_dir))
+
+
+def _degree_rows(t: pa.Table) -> pa.Table:
+    n = t.num_rows
+    ones = pa.array([1] * n, type=pa.int64())
+    zeros = pa.array([0] * n, type=pa.int64())
+    zlinks = pa.array([0] * n, type=pa.int64())
+    out_rows = pa.table({
+        "host": t["src_host"],
+        "out_deg": ones, "in_deg": zeros,
+        "out_links": t["n_links"], "in_links": zlinks,
+    })
+    in_rows = pa.table({
+        "host": t["dst_host"],
+        "out_deg": zeros, "in_deg": ones,
+        "out_links": zlinks, "in_links": t["n_links"],
+    })
+    return pa.concat_tables([out_rows, in_rows])
+
+
+def q_host_degree(sf_dir: str) -> "ray.data.Dataset":
+    """Per-host fan-in/fan-out over the host graph: distinct-neighbor
+    degrees and total link weights.
+    Columns: host, out_deg, in_deg, out_links, in_links."""
+    edges = q_host_graph(sf_dir)
+    return (
+        edges.map_batches(_degree_rows, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("out_deg", alias_name="out_deg"),
+            Sum("in_deg", alias_name="in_deg"),
+            Sum("out_links", alias_name="out_links"),
+            Sum("in_links", alias_name="in_links"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ pagerank
+
+PR_DAMPING = 0.85
+PR_ITERS = 5
+
+
+def pagerank_dataset(
+    edges: "ray.data.Dataset",
+    damping: float = PR_DAMPING,
+    n_iter: int = PR_ITERS,
+) -> "ray.data.Dataset":
+    """Distributed power-iteration PageRank over a weighted edge list
+    ``(src_host, dst_host, n_links)``.
+
+    Every table touched is host-cardinality. Per iteration:
+      1. ranks ⋈ probability-edges on ``src_host`` (hash join),
+      2. contribution = rank × (n_links / out_links(src)),
+      3. ``groupby(dst)`` Sum → S(dst),
+      4. dangling mass = 1 − ΣS (a scalar aggregate over the host-sized
+         contribution table: Σ_dst S = Σ_{src with out-edges} rank),
+      5. rank'(h) = (1−d)/N + d·(S(h) + dangling/N), hosts with no
+         in-links joined back in via a zero-row union (avoids an outer
+         join).
+    Fixed iteration count → byte-deterministic output; audited against
+    a dense numpy reference in tests/test_linkgraph.py.
+    Columns: host, rank."""
+    from .dedup import _coalesce_for_join, _join_parts_for
+
+    edges, n_edges = _coalesce_for_join(edges)
+    if n_edges == 0:
+        return ray.data.from_arrow(pa.table({
+            "host": pa.array([], type=pa.string()),
+            "rank": pa.array([], type=pa.float64()),
+        }))
+
+    def _hosts_both(t: pa.Table) -> pa.Table:
+        both = pa.concat_arrays([
+            t["src_host"].combine_chunks(),
+            t["dst_host"].combine_chunks(),
+        ])
+        return pa.table({"host": pc.unique(both)})
+
+    from ray.data.aggregate import Count
+
+    hosts = (
+        edges.map_batches(_hosts_both, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Count(alias_name="_c"))  # distinct hosts
+        .drop_columns(["_c"])
+        .materialize()
+    )
+    n_hosts = hosts.count()
+    n_parts = _join_parts_for(max(n_edges, n_hosts))
+
+    out_w = edges.groupby("src_host").aggregate(
+        Sum("n_links", alias_name="out_links"))
+
+    def _as_prob(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_host": t["src_host"],
+            "dst_host": t["dst_host"],
+            "p": pc.divide(
+                pc.cast(t["n_links"], pa.float64()),
+                pc.cast(t["out_links"], pa.float64())),
+        })
+
+    out_w, _ = _coalesce_for_join(out_w)
+    edges_p = (
+        edges.join(out_w, join_type="inner", num_partitions=n_parts,
+                   on=("src_host",))
+        .map_batches(_as_prob, batch_format="pyarrow")
+        .materialize()
+    )
+
+    init_rank = 1.0 / n_hosts
+
+    def _init(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_host": t["host"],
+            "rank": pa.array([init_rank] * t.num_rows, type=pa.float64()),
+        })
+
+    ranks = hosts.map_batches(_init, batch_format="pyarrow")
+
+    def _zero_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "dst_host": t["host"],
+            "s": pa.array([0.0] * t.num_rows, type=pa.float64()),
+        })
+
+    zeros = hosts.map_batches(_zero_rows, batch_format="pyarrow").materialize()
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "dst_host": t["dst_host"],
+            "s": pc.multiply(t["rank"], t["p"]),
+        })
+
+    for _ in range(n_iter):
+        ranks, _ = _coalesce_for_join(ranks)
+        grouped = (
+            ranks.join(edges_p, join_type="inner", num_partitions=n_parts,
+                       on=("src_host",))
+            .map_batches(_contrib, batch_format="pyarrow")
+            .union(zeros)
+            .groupby("dst_host")
+            .aggregate(Sum("s", alias_name="s"))
+            .materialize()
+        )
+        total_s = grouped.sum("s") or 0.0
+        dangling = max(0.0, 1.0 - total_s)
+        base = (1.0 - damping) / n_hosts + damping * dangling / n_hosts
+
+        def _next(t: pa.Table, base: float = base) -> pa.Table:
+            return pa.table({
+                "src_host": t["dst_host"],
+                "rank": pc.add(pc.multiply(t["s"], damping), base),
+            })
+
+        ranks = grouped.map_batches(_next, batch_format="pyarrow")
+
+    def _final(t: pa.Table) -> pa.Table:
+        return pa.table({"host": t["src_host"], "rank": t["rank"]})
+
+    return ranks.map_batches(_final, batch_format="pyarrow")
+
+
+def q_pagerank(sf_dir: str, damping: float = PR_DAMPING,
+               n_iter: int = PR_ITERS) -> "ray.data.Dataset":
+    """PageRank over the corpus host graph (fixed ``n_iter`` power
+    iterations, deterministic). Columns: host, rank. (No SQL oracle:
+    iterative; audited vs a dense numpy reference in pytest.)"""
+    return pagerank_dataset(q_host_graph(sf_dir), damping=damping,
+                            n_iter=n_iter)
