@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": linkgraph.q_host_graph,
         "host_degree": linkgraph.q_host_degree,
         "pagerank": linkgraph.q_pagerank,
+        "anchor_terms": linkgraph.q_anchor_terms,
+        "doc_authority": linkgraph.q_doc_authority,
         # flagship extraction (rows-only: non-SQL-expressible)
         "extract": _extract_query,
         "ensemble_extract": ensemble.q_ensemble_extract,

@@ -341,3 +341,88 @@ def q_pagerank(sf_dir: str, damping: float = PR_DAMPING,
     iterative; audited vs a dense numpy reference in pytest.)"""
     return pagerank_dataset(q_host_graph(sf_dir), damping=damping,
                             n_iter=n_iter)
+
+
+# ----------------------------------------------------------- compositions
+
+def q_anchor_terms(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
+    """Top-``k`` EXTERNAL anchor texts per destination host — the
+    classic "anchor text describes the target" retrieval signal.
+    Per-batch combiner shrinks the exchange to distinct (dst_host,
+    anchor) pairs per block; the per-host top-k is a per-key
+    ``map_groups`` (host cardinality; coarse-partition at 10^8 hosts).
+    Deterministic tie-break (cnt desc, anchor asc).
+    Columns: dst_host, anchor, cnt, rk."""
+    links = q_outlinks(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.invert(t["internal"])
+        df = pd.DataFrame({
+            "dst_host": pc.filter(t["dst_host"], mask).to_pandas(),
+            "anchor": pc.filter(t["anchor"], mask).to_pandas(),
+        })
+        df = df[df["anchor"] != ""]
+        cnt = (df.groupby(["dst_host", "anchor"], sort=False)
+               .size().reset_index(name="cnt"))
+        return pa.table({
+            "dst_host": pa.array(cnt["dst_host"].tolist(), type=pa.string()),
+            "anchor": pa.array(cnt["anchor"].tolist(), type=pa.string()),
+            "cnt": pa.array(cnt["cnt"].to_numpy(), type=pa.int64()),
+        })
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", "anchor"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rk"] = (g.index + 1).astype("int64")
+        return g
+
+    return (
+        links.map_batches(partial, batch_format="pyarrow")
+        .groupby(["dst_host", "anchor"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby("dst_host")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+def q_doc_authority(sf_dir: str) -> "ray.data.Dataset":
+    """Per-document source-authority annotation: PageRank of the doc's
+    host stamped onto every successfully extracted page — the quality
+    prior used to weight training data by source. The rank table is
+    HOST-cardinality, so it is the textbook broadcast side: computed
+    once, ``ray.put`` once, dict-lookup inside ``map_batches`` — never
+    a doc-cardinality shuffle. (Beyond broadcastable host counts,
+    swap the lookup for a hash ``Dataset.join`` on ``host``.)
+    Columns: url, host, rank, n_chars."""
+    import ray as _ray
+
+    from ..sources.pages import read_pages
+    from .extract_pipeline import extract_dataset
+
+    ranks = {r["host"]: r["rank"] for r in q_pagerank(sf_dir).take_all()}
+    ranks_ref = _ray.put(ranks)  # broadcast once, read per worker
+
+    corpus = pages_corpus_for(sf_dir)
+    docs = extract_dataset(read_pages(corpus)).select_columns(
+        ["url", "status", "n_chars"])
+
+    # task-pool stage, NOT a second actor pool: the extraction stage
+    # already holds a prestarted fractional-CPU pool, and a second pool
+    # competing for whole-CPU reservations can starve the read tasks
+    # into a scheduling deadlock (NOTES.md landmine). ray.get of the
+    # broadcast ref is a local object-store hit after the first task
+    # per worker.
+    def annotate(t: pa.Table) -> pa.Table:
+        rk = _ray.get(ranks_ref)
+        ok = pc.equal(t["status"], pa.scalar("ok"))
+        urls = pc.filter(t["url"], ok)
+        hosts = [host_of_url(u) for u in urls.to_pylist()]
+        return pa.table({
+            "url": urls,
+            "host": pa.array(hosts, type=pa.string()),
+            "rank": pa.array([rk.get(h, 0.0) for h in hosts],
+                             type=pa.float64()),
+            "n_chars": pc.filter(t["n_chars"], ok),
+        })
+
+    return docs.map_batches(annotate, batch_format="pyarrow")

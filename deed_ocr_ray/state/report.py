@@ -91,10 +91,14 @@ def cost_breakdown(summary: Dict[str, Any], profile: str = DEFAULT_PROFILE) -> D
     gib_in = summary["bytes_in"] / _GIB
     gib_out = summary["bytes_out"] / _GIB
     cpu_h = summary["extract_cpu_s"] / 3600.0
-    read_cost = gib_in * prices["read_per_gib"]
-    write_cost = gib_out * prices["write_per_gib"]
-    compute_cost = cpu_h * prices["cpu_per_hour"]
-    total = read_cost + write_cost + compute_cost
+    # parts are rounded FIRST and the total is their sum, so the
+    # reported total always equals the sum of the reported lines (an
+    # unrounded-sum total can differ from the visible parts by 1e-6
+    # at rounding boundaries — observed when the corpus grew 1.5%)
+    read_cost = round(gib_in * prices["read_per_gib"], 6)
+    write_cost = round(gib_out * prices["write_per_gib"], 6)
+    compute_cost = round(cpu_h * prices["cpu_per_hour"], 6)
+    total = round(read_cost + write_cost + compute_cost, 6)
     return {
         "profile": used_profile,
         "usage": {
@@ -105,10 +109,10 @@ def cost_breakdown(summary: Dict[str, Any], profile: str = DEFAULT_PROFILE) -> D
         },
         "pricing": dict(prices),
         "estimated_costs_usd": {
-            "read": round(read_cost, 6),
-            "write": round(write_cost, 6),
-            "compute": round(compute_cost, 6),
-            "total": round(total, 6),
+            "read": read_cost,
+            "write": write_cost,
+            "compute": compute_cost,
+            "total": total,
         },
         "cost_breakdown_formatted": {
             "read": f"${read_cost:.6f} ({gib_in:.3f} GiB × ${prices['read_per_gib']}/GiB)",

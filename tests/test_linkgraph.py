@@ -183,6 +183,40 @@ def test_pagerank_matches_dense_reference(pages_ds):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+def test_anchor_terms_topk_invariants(pages_ds, tmp_path, monkeypatch):
+    import ray.data
+
+    from deed_ocr_ray.pipelines import linkgraph
+
+    ds, t = pages_ds
+    monkeypatch.setattr(linkgraph, "q_outlinks",
+                        lambda sf_dir: outlinks_dataset(ds))
+    rows = linkgraph.q_anchor_terms("unused", k=3).take_all()
+    one = _extract_links_batch(t)
+    expected: collections.Counter = collections.Counter()
+    for d, a, internal in zip(one["dst_host"].to_pylist(),
+                              one["anchor"].to_pylist(),
+                              one["internal"].to_pylist()):
+        if not internal and a:
+            expected[(d, a)] += 1
+    by_host: dict = collections.defaultdict(list)
+    for r in rows:
+        by_host[r["dst_host"]].append(r)
+    for host, hr in by_host.items():
+        hr.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in hr] == list(range(1, len(hr) + 1))
+        assert len(hr) <= 3
+        # each reported (anchor, cnt) matches the exact recount and is
+        # ordered by (cnt desc, anchor asc)
+        for r in hr:
+            assert expected[(host, r["anchor"])] == r["cnt"]
+        keys = [(-r["cnt"], r["anchor"]) for r in hr]
+        assert keys == sorted(keys)
+        # top-1 really is the max count for this host
+        host_counts = [c for (d, _), c in expected.items() if d == host]
+        assert hr[0]["cnt"] == max(host_counts)
+
+
 def test_pagerank_empty_edges(ray_session):
     import ray.data
 
