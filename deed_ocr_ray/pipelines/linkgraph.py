@@ -40,12 +40,13 @@ from ray.data.aggregate import Sum
 from ..functions.sniff import JUNK_REPLACEMENT_RATIO, decode_html
 from .corpus import pages_corpus_for
 
-# href value: double-quoted, single-quoted, or unquoted; anchor body is
-# non-greedy to the nearest close tag (nested <a> is invalid HTML).
-_ANCHOR_RE = re.compile(
-    r"""<a\b[^>]*?\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a>""",
-    re.I | re.S,
-)
+# whole <a> tag (attrs + body; nested <a> is invalid HTML, body is
+# non-greedy to the nearest close tag), then href / rel parsed from the
+# attr segment: double-quoted, single-quoted, or unquoted values.
+_ATAG_RE = re.compile(r"<a\b([^>]*)>(.*?)</a>", re.I | re.S)
+_HREF_RE = re.compile(
+    r"""\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.I)
+_NOFOLLOW_RE = re.compile(r"""\brel\s*=\s*["']?[^"'>]*?\bnofollow\b""", re.I)
 _TAG_RE = re.compile(r"<[^>]*>")
 _SKIP_SCHEMES = ("javascript:", "mailto:", "data:", "tel:", "about:")
 
@@ -92,6 +93,7 @@ def _extract_links_batch(t: pa.Table) -> pa.Table:
     hrefs: List[str] = []
     anchors: List[str] = []
     internals: List[bool] = []
+    nofollows: List[bool] = []
     for url, raw in zip(t["url"].to_pylist(), t["html"].to_pylist()):
         if not raw or raw[:4] == b"%PDF":
             continue
@@ -99,16 +101,21 @@ def _extract_links_batch(t: pa.Table) -> pa.Table:
         if bad > JUNK_REPLACEMENT_RATIO:
             continue
         src_host = host_of_url(url)
-        for m in _ANCHOR_RE.finditer(text):
-            href = m.group(1) or m.group(2) or m.group(3) or ""
+        for m in _ATAG_RE.finditer(text):
+            attrs = m.group(1)
+            hm = _HREF_RE.search(attrs)
+            if hm is None:
+                continue
+            href = hm.group(1) or hm.group(2) or hm.group(3) or ""
             dst = resolve_link_host(href, src_host)
             if dst is None:
                 continue
             src_urls.append(url)
             dst_hosts.append(dst)
             hrefs.append(href)
-            anchors.append(_anchor_text(m.group(4)))
+            anchors.append(_anchor_text(m.group(2)))
             internals.append(dst == src_host)
+            nofollows.append(_NOFOLLOW_RE.search(attrs) is not None)
     src_arr = pa.array(src_urls, type=pa.string())
     return pa.table({
         "src_url": src_arr,
@@ -117,6 +124,7 @@ def _extract_links_batch(t: pa.Table) -> pa.Table:
         "href": pa.array(hrefs, type=pa.string()),
         "anchor": pa.array(anchors, type=pa.string()),
         "internal": pa.array(internals, type=pa.bool_()),
+        "nofollow": pa.array(nofollows, type=pa.bool_()),
     })
 
 
@@ -127,9 +135,10 @@ def outlinks_dataset(pages: "ray.data.Dataset") -> "ray.data.Dataset":
 
 def q_outlinks(sf_dir: str) -> "ray.data.Dataset":
     """Anchor-edge extraction over the pages corpus.
-    Columns: src_url, src_host, dst_host, href, anchor, internal.
-    (No SQL oracle: HTML parse over the synthesized corpus; covered by
-    exactness pytests on crafted anchors + golden corpus counts.)"""
+    Columns: src_url, src_host, dst_host, href, anchor, internal,
+    nofollow. (No SQL oracle: HTML parse over the synthesized corpus;
+    covered by exactness pytests on crafted anchors + golden corpus
+    counts.)"""
     from ..sources.pages import read_pages
 
     corpus = pages_corpus_for(sf_dir)

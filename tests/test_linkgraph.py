@@ -72,16 +72,19 @@ def test_extract_links_crafted():
         b'<a href=unquoted.html>Unq</a>'
         b'<a href="#frag">skip</a>'
         b'<a href="mailto:x@y.z">skip</a>'
+        b'<a name="no-href-anchor">skip</a>'
         b'<A HREF="//proto.example/p">Proto\ncase</A>'
+        b'<a rel="nofollow sponsored" href="https://spam.example/">Paid</a>'
         b'</body></html>'
     )
     out = _extract_links_batch(_batch(f"https://{SRC}/page/1", html))
     rows = out.to_pylist()
     assert [r["dst_host"] for r in rows] == [
-        "abs.example", SRC, SRC, "proto.example"]
+        "abs.example", SRC, SRC, "proto.example", "spam.example"]
     assert [r["anchor"] for r in rows] == [
-        "Abs bold text", "Rel&amp", "Unq", "Proto case"]
-    assert [r["internal"] for r in rows] == [False, True, True, False]
+        "Abs bold text", "Rel&amp", "Unq", "Proto case", "Paid"]
+    assert [r["internal"] for r in rows] == [False, True, True, False, False]
+    assert [r["nofollow"] for r in rows] == [False, False, False, False, True]
     assert all(r["src_host"] == SRC for r in rows)
 
 
