@@ -78,18 +78,19 @@ SEMI_PRICE_THR = 400_000.0
 _SEMI_PARTS = 64
 
 
-class _BloomProbe:
-    """Actor: holds the merged Bloom bit array (fetched ONCE per actor
-    from the object store) and prunes fact batches to maybe-members."""
+def _bloom_probe_fn(bloom_ref):
+    """Task-pool Bloom probe: ``ray.get`` of the broadcast bit array is
+    a local object-store hit after the first task per worker (an actor
+    pool here cost 3.6 s vs 0.7 s task-pool on a warm 32-CPU session —
+    the NOTES.md short-stage rule)."""
+    import ray as _ray
 
-    def __init__(self, bloom_ref) -> None:
-        import ray as _ray
-
-        self.bits = _ray.get(bloom_ref)
-
-    def __call__(self, t: pa.Table) -> pa.Table:
+    def probe(t: pa.Table) -> pa.Table:
+        bits = _ray.get(bloom_ref)
         keys = t["l_orderkey"].to_numpy()
-        return t.filter(pa.array(bloom_contains(self.bits, keys)))
+        return t.filter(pa.array(bloom_contains(bits, keys)))
+
+    return probe
 
 
 def q_bloom_semijoin(sf_dir: str, thr: float = SEMI_PRICE_THR) -> "ray.data.Dataset":
@@ -170,8 +171,7 @@ def q_bloom_semijoin(sf_dir: str, thr: float = SEMI_PRICE_THR) -> "ray.data.Data
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_extendedprice"])
     survivors = fact.map_batches(
-        _BloomProbe, fn_constructor_args=(bloom_ref,),
-        batch_format="pyarrow", concurrency=(1, 4),
+        _bloom_probe_fn(bloom_ref), batch_format="pyarrow",
     ).map_batches(survivor_rows, batch_format="pyarrow")
     build = keys_ds.map_batches(exact_keys, batch_format="pyarrow")
 
