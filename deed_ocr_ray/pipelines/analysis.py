@@ -362,7 +362,7 @@ def _fine_region_nation_revenue(sf_dir: str) -> "ray.data.Dataset":
     import pyarrow.parquet as pq
     import ray as _ray
 
-    from .relational import _KeyedLookupPartial
+    from .relational import _keyed_lookup_partial
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_nationkey"])
@@ -390,9 +390,8 @@ def _fine_region_nation_revenue(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                columns=["o_custkey", "o_totalprice"])
     partials = ds.map_batches(
-        _KeyedLookupPartial,
-        fn_constructor_args=(pair_ref, "o_custkey", "rn"),
-        batch_format="pyarrow", concurrency=(1, 4),
+        _keyed_lookup_partial(pair_ref, "o_custkey", "rn"),
+        batch_format="pyarrow",
     )
     return partials.groupby("rn").aggregate(
         Sum("price_c_sum", alias_name="cents"),
@@ -409,7 +408,7 @@ def _grain_expand(fine: "ray.data.Dataset", grains) -> "ray.data.Dataset":
     import pyarrow.compute as pc
 
     def expand(t: pa.Table) -> pa.Table:
-        # _KeyedLookupPartial's miss default is a bare "UNKNOWN": pad
+        # _keyed_lookup_partial's miss default is a bare "UNKNOWN": pad
         pairs = [(s.split("\x1f") + ["UNKNOWN"])[:2] for s in t["rn"].to_pylist()]
         cents = t["cents"].to_pylist()
         cnt = t["n_orders"].to_pylist()

@@ -139,32 +139,51 @@ def q_bpe_merges(sf_dir: str) -> "ray.data.Dataset":
     }))
 
 
+# per-WORKER word→token-count caches, keyed by ranks ref (worker
+# processes are reused across tasks, so the Zipf cache warms exactly
+# like the old per-actor one — a closure-held dict would be re-pickled
+# empty into every task)
+_WORD_CACHES: Dict[str, Dict[str, int]] = {}
+
+
 class BpeTokenizer:
-    """Actor-pool encode stage: merge ranks fetched from the object
-    store ONCE per actor in ``__init__``, applied per word with a
-    per-actor word→tokens cache (Zipf makes the cache hit rate high)."""
+    """Encode stage: merge ranks deserialized once per WORKER
+    (broadcast.cached_get), applied per word with a per-worker
+    word→tokens cache (Zipf makes the hit rate high). Used as a
+    task-pool callable INSTANCE — the short-stage actor pool it
+    replaced paid ~3 s of startup (NOTES.md)."""
 
     def __init__(self, ranks_ref) -> None:
-        ranks = ray.get(ranks_ref) if isinstance(ranks_ref, ray.ObjectRef) else ranks_ref
-        self.ranks: Dict[Tuple[str, str], int] = ranks
-        self._cache: Dict[str, int] = {}
+        self._ref = ranks_ref
 
-    def n_tokens(self, text: str) -> int:
+    def _state(self) -> Tuple[Dict[Tuple[str, str], int], Dict[str, int]]:
+        if isinstance(self._ref, ray.ObjectRef):
+            from .broadcast import cached_get
+
+            ranks = cached_get(self._ref)
+            cache = _WORD_CACHES.setdefault(self._ref.hex(), {})
+        else:  # direct dict (tests)
+            ranks, cache = self._ref, _WORD_CACHES.setdefault("direct", {})
+        return ranks, cache
+
+    def n_tokens(self, text: str, ranks=None, cache=None) -> int:
+        if ranks is None or cache is None:
+            ranks, cache = self._state()
         total = 0
-        cache = self._cache
         for w in (text or "").split():
             n = cache.get(w)
             if n is None:
-                n = len(bpe_encode_word(w, self.ranks))
+                n = len(bpe_encode_word(w, ranks))
                 cache[w] = n
             total += n
         return total
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        ranks, cache = self._state()
         return pa.table({
             "doc_id": t["doc_id"],
             "n_bpe_tokens": pa.array(
-                [self.n_tokens(x) for x in t["text"].to_pylist()],
+                [self.n_tokens(x, ranks, cache) for x in t["text"].to_pylist()],
                 type=pa.int64()),
         })
 
@@ -178,5 +197,4 @@ def q_bpe_tokenize(sf_dir: str) -> "ray.data.Dataset":
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return ds.map_batches(BpeTokenizer, fn_constructor_kwargs={"ranks_ref": ref},
-                          batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(BpeTokenizer(ref), batch_format="pyarrow")

@@ -174,29 +174,28 @@ LIMIT 10
 """
 
 
-class _KeyedLookupPartial:
-    """Actor: keyed broadcast lookup + per-batch partial aggregate. The
-    lookup dict is fetched ONCE per actor from the object store
-    (``ray.put`` on the driver) — the canonical small-side broadcast
-    join: no shuffle, nothing re-shipped per batch."""
+def _keyed_lookup_partial(lookup_ref, key_col: str, out_col: str):
+    """Task-pool keyed broadcast lookup + per-batch partial aggregate.
+    The lookup dict is ``ray.put`` once on the driver and deserialized
+    once PER WORKER via :func:`broadcast.cached_get` — the canonical
+    small-side broadcast join (no shuffle, nothing re-shipped per
+    batch) without the ~3 s short-stage actor-pool startup tax
+    (NOTES.md)."""
+    from .broadcast import cached_get
 
-    def __init__(self, lookup_ref, key_col: str, out_col: str) -> None:
-        import ray as _ray
-
-        self.lookup = _ray.get(lookup_ref)
-        self.key_col = key_col
-        self.out_col = out_col
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        keys = t[self.key_col].to_pylist()
-        names = [self.lookup.get(k, "UNKNOWN") for k in keys]
+    def partial(t: pa.Table) -> pa.Table:
+        lookup = cached_get(lookup_ref)
+        keys = t[key_col].to_pylist()
+        names = [lookup.get(k, "UNKNOWN") for k in keys]
         t2 = pa.table({
-            self.out_col: pa.array(names, type=pa.string()),
+            out_col: pa.array(names, type=pa.string()),
             "price_c": _cents(t["o_totalprice"]),
         })
-        return t2.group_by(self.out_col).aggregate(
+        return t2.group_by(out_col).aggregate(
             [("price_c", "sum"), ("price_c", "count")]
         )
+
+    return partial
 
 
 def q_mktsegment_orders(sf_dir: str) -> "ray.data.Dataset":
@@ -220,9 +219,8 @@ def q_mktsegment_orders(sf_dir: str) -> "ray.data.Dataset":
                                columns=["o_custkey", "o_totalprice"])
 
     partials = ds.map_batches(
-        _KeyedLookupPartial,
-        fn_constructor_args=(seg_ref, "o_custkey", "c_mktsegment"),
-        batch_format="pyarrow", concurrency=(1, 4),
+        _keyed_lookup_partial(seg_ref, "o_custkey", "c_mktsegment"),
+        batch_format="pyarrow",
     )
     agg = partials.groupby("c_mktsegment").aggregate(
         Sum("price_c_sum", alias_name="cents"),
@@ -267,14 +265,13 @@ def q_nation_revenue(sf_dir: str) -> "ray.data.Dataset":
 
     import ray as _ray
 
-    nation_ref = _ray.put(nation_of)  # broadcast once (see _KeyedLookupPartial)
+    nation_ref = _ray.put(nation_of)  # broadcast once (see _keyed_lookup_partial)
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                columns=["o_custkey", "o_totalprice"])
 
     partials = ds.map_batches(
-        _KeyedLookupPartial,
-        fn_constructor_args=(nation_ref, "o_custkey", "n_name"),
-        batch_format="pyarrow", concurrency=(1, 4),
+        _keyed_lookup_partial(nation_ref, "o_custkey", "n_name"),
+        batch_format="pyarrow",
     )
     agg = partials.groupby("n_name").aggregate(
         Sum("price_c_sum", alias_name="cents"),
@@ -399,34 +396,32 @@ def q_region_part_revenue(sf_dir: str) -> "ray.data.Dataset":
         columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
 
-    class StarPartial:
-        """Actor: both dim lookups fetched once per actor."""
+    from .broadcast import cached_get
 
-        def __init__(self) -> None:
-            self.region_of_supp, self.type_of_part = _ray.get(dims_ref)
+    def star_partial(t: pa.Table) -> pa.Table:
+        # task-pool stage: both dim lookups deserialized once per
+        # WORKER (broadcast.cached_get), not once per actor
+        region_of_supp, type_of_part = cached_get(dims_ref)
+        # revenue cents = floor(ep*(1-disc)*100 + 0.5): same IEEE
+        # double expression as the oracle -> bit-identical integers
+        rev = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            100.0), 0.5)), pa.int64())
+        rn = [region_of_supp.get(k, "UNKNOWN")
+              for k in t["l_suppkey"].to_pylist()]
+        pt = [type_of_part.get(k, "UNKNOWN")
+              for k in t["l_partkey"].to_pylist()]
+        t2 = pa.table({
+            "r_name": pa.array(rn, type=pa.string()),
+            "p_type": pa.array(pt, type=pa.string()),
+            "rev": rev,
+        })
+        return t2.group_by(["r_name", "p_type"]).aggregate(
+            [("rev", "sum"), ("rev", "count")]
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            # revenue cents = floor(ep*(1-disc)*100 + 0.5): same IEEE
-            # double expression as the oracle -> bit-identical integers
-            rev = pc.cast(pc.floor(pc.add(pc.multiply(
-                pc.multiply(t["l_extendedprice"],
-                            pc.subtract(pa.scalar(1.0), t["l_discount"])),
-                100.0), 0.5)), pa.int64())
-            rn = [self.region_of_supp.get(k, "UNKNOWN")
-                  for k in t["l_suppkey"].to_pylist()]
-            pt = [self.type_of_part.get(k, "UNKNOWN")
-                  for k in t["l_partkey"].to_pylist()]
-            t2 = pa.table({
-                "r_name": pa.array(rn, type=pa.string()),
-                "p_type": pa.array(pt, type=pa.string()),
-                "rev": rev,
-            })
-            return t2.group_by(["r_name", "p_type"]).aggregate(
-                [("rev", "sum"), ("rev", "count")]
-            )
-
-    partials = ds.map_batches(StarPartial, batch_format="pyarrow",
-                              concurrency=(1, 4))
+    partials = ds.map_batches(star_partial, batch_format="pyarrow")
     agg = partials.groupby(["r_name", "p_type"]).aggregate(
         Sum("rev_sum", alias_name="revenue_cents"),
         Sum("rev_count", alias_name="n_items"),
@@ -529,25 +524,24 @@ def q_top_parts_per_nation(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
         columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
 
-    class Partial:
-        def __init__(self) -> None:
-            self.nation_of_supp = _ray.get(dim_ref)
+    from .broadcast import cached_get
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            rev = pc.cast(pc.floor(pc.add(pc.multiply(
-                pc.multiply(t["l_extendedprice"],
-                            pc.subtract(pa.scalar(1.0), t["l_discount"])),
-                100.0), 0.5)), pa.int64())
-            nn = [self.nation_of_supp.get(s, "UNKNOWN")
-                  for s in t["l_suppkey"].to_pylist()]
-            t2 = pa.table({
-                "n_name": pa.array(nn, type=pa.string()),
-                "l_partkey": t["l_partkey"],
-                "rev": rev,
-            })
-            return t2.group_by(["n_name", "l_partkey"]).aggregate([("rev", "sum")])
+    def nation_partial(t: pa.Table) -> pa.Table:
+        nation_of_supp = cached_get(dim_ref)  # once per worker
+        rev = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            100.0), 0.5)), pa.int64())
+        nn = [nation_of_supp.get(s, "UNKNOWN")
+              for s in t["l_suppkey"].to_pylist()]
+        t2 = pa.table({
+            "n_name": pa.array(nn, type=pa.string()),
+            "l_partkey": t["l_partkey"],
+            "rev": rev,
+        })
+        return t2.group_by(["n_name", "l_partkey"]).aggregate([("rev", "sum")])
 
-    partials = ds.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 8))
+    partials = ds.map_batches(nation_partial, batch_format="pyarrow")
     totals = partials.groupby(["n_name", "l_partkey"]).aggregate(
         Sum("rev_sum", alias_name="revenue_cents")
     )

@@ -81,7 +81,10 @@ def _cosine_block(q: np.ndarray, m: np.ndarray) -> np.ndarray:
 
 
 class TopKScorer:
-    """Actor: per-batch cosine vs the broadcast query matrix, local top-k."""
+    """Per-batch cosine vs the query matrix, local top-k. Passed to
+    ``map_batches`` as an INSTANCE (task pool): the query matrix is a
+    few KiB, so shipping it in the task closure beats paying the
+    short-stage actor-pool startup tax (NOTES.md)."""
 
     def __init__(self, queries: np.ndarray, query_ids: np.ndarray, k: int,
                  exclude_self: bool = True) -> None:
@@ -127,10 +130,8 @@ def q_knn_cosine(sf_dir: str) -> "ray.data.Dataset":
     q, qid, _ = _load_queries(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     local = ds.map_batches(
-        TopKScorer,
-        fn_constructor_kwargs={"queries": q, "query_ids": qid, "k": K_NEIGHBORS},
+        TopKScorer(queries=q, query_ids=qid, k=K_NEIGHBORS),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
     return local.groupby("query_id").map_groups(_global_topk, batch_format="pandas")
 
@@ -189,7 +190,7 @@ def q_knn_ivf(sf_dir: str) -> "ray.data.Dataset":
                 "cos": pa.array(out_c, type=pa.float64()),
             })
 
-    local = ds.map_batches(IvfScorer, batch_format="pyarrow", concurrency=(1, 8))
+    local = ds.map_batches(IvfScorer(), batch_format="pyarrow")
     return local.groupby("query_id").map_groups(_global_topk, batch_format="pandas")
 
 

@@ -180,7 +180,10 @@ def q_lang_id(sf_dir: str) -> "ray.data.Dataset":
     Columns: doc_id, pred_lang, agrees. (No SQL oracle: heuristic.)"""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    # task-pool instance: the stopword tables are module constants, so
+    # per-task state is trivial (short-stage actor pools pay ~3 s of
+    # startup for nothing — NOTES.md)
+    return ds.map_batches(LangId(), batch_format="pyarrow")
 
 
 # BPE-ish pre-tokenizer (GPT-2-style segment classes, ASCII-simplified
