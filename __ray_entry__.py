@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": linkgraph.q_pagerank,
         "anchor_terms": linkgraph.q_anchor_terms,
         "doc_authority": linkgraph.q_doc_authority,
+        "paragraph_dedup": prep.q_paragraph_dedup,
         # flagship extraction (rows-only: non-SQL-expressible)
         "extract": _extract_query,
         "ensemble_extract": ensemble.q_ensemble_extract,

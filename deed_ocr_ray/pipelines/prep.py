@@ -128,3 +128,105 @@ def q_training_prep(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return uniq.map_batches(emit, batch_size=None, batch_format="pyarrow")
+
+
+# -------------------------------------- cross-doc paragraph dedup (C4)
+
+PARA_PARTS = 256
+
+
+def q_paragraph_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """C4-style cross-document PARAGRAPH dedup over the extracted
+    corpus: every block (extracted_text is blocks joined by "\\n\\n")
+    is fingerprinted; corpus-wide duplicate blocks keep only the FIRST
+    occurrence by (url, block_idx) and are dropped everywhere else
+    (the C4/Gopher exact line-dedup rule — kills cross-site
+    boilerplate the per-page classifier can't see). Docs are then
+    reassembled in original block order.
+
+    Shape: two full-corpus exchanges, both inherent to the semantics
+    (copies must co-locate to be resolved; blocks must return to their
+    doc to reassemble) — the C4 pipeline's own cost model. Block text
+    rides a coarse hash(fp) partition (PARA_PARTS-way), winner
+    selection is pandas-vectorized per partition (one UDF call per
+    partition, not per block), and the reassembly groupby moves only
+    kept blocks.
+    Columns: url, warc_ts, clean_text, n_blocks, n_dropped.
+    Doc identity is (url, warc_ts): the corpus carries duplicate urls
+    with distinct capture timestamps by design.
+    (No SQL oracle: extraction-derived; exactness pinned by a
+    single-process recount pytest.)"""
+    corpus = pages_corpus_for(sf_dir)
+    extracted = extract_dataset(read_pages(corpus))
+    return paragraph_dedup_dataset(extracted)
+
+
+def paragraph_dedup_dataset(extracted: "ray.data.Dataset") -> "ray.data.Dataset":
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["status"], "ok"))
+        urls, tss, idxs, parts, fps, texts, tots = [], [], [], [], [], [], []
+        for url, ts, txt in zip(t["url"].to_pylist(),
+                                t["warc_ts"].to_pylist(),
+                                t["extracted_text"].to_pylist()):
+            if not txt:
+                continue
+            blocks = txt.split("\n\n")
+            for i, blk in enumerate(blocks):
+                fp = hashlib.md5(blk.encode("utf-8")).hexdigest()
+                urls.append(url)
+                tss.append(ts)
+                idxs.append(i)
+                fps.append(fp)
+                parts.append(int(fp[:4], 16) % PARA_PARTS)
+                texts.append(blk)
+                tots.append(len(blocks))
+        return pa.table({
+            "part": pa.array(parts, type=pa.int32()),
+            "fp": pa.array(fps, type=pa.string()),
+            # (url, warc_ts) is the doc key: the corpus has duplicate
+            # urls (differing warc_ts) by design
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(tss, type=pa.timestamp("us")),
+            "idx": pa.array(idxs, type=pa.int64()),
+            # per-doc block total rides every row so the reassembly can
+            # report true drop counts even when trailing blocks drop
+            "tot": pa.array(tots, type=pa.int64()),
+            "block": pa.array(texts, type=pa.string()),
+        })
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        # keep = the (url, idx)-min row per fp, vectorized: sort then
+        # first-of-group (deterministic total order)
+        g = g.sort_values(["fp", "url", "warc_ts", "idx"], kind="mergesort")
+        out = g[~g.duplicated("fp", keep="first")]
+        return pa.table({
+            "url": pa.array(out["url"].tolist(), type=pa.string()),
+            "warc_ts": pa.Array.from_pandas(out["warc_ts"],
+                                            type=pa.timestamp("us")),
+            "idx": pa.array(out["idx"].to_numpy(), type=pa.int64()),
+            "tot": pa.array(out["tot"].to_numpy(), type=pa.int64()),
+            "block": pa.array(out["block"].tolist(), type=pa.string()),
+        })
+
+    def rebuild(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("idx")
+        n_total = int(g["tot"].iloc[0])
+        return pa.table({
+            "url": pa.array([g["url"].iloc[0]], type=pa.string()),
+            "warc_ts": pa.Array.from_pandas(g["warc_ts"].iloc[:1],
+                                            type=pa.timestamp("us")),
+            "clean_text": pa.array(["\n\n".join(g["block"])],
+                                   type=pa.string()),
+            "n_blocks": pa.array([len(g)], type=pa.int64()),
+            "n_dropped": pa.array([n_total - len(g)], type=pa.int64()),
+        })
+
+    # docs whose every block was a duplicate vanish from the output
+    # entirely (C4 semantics: nothing left to train on)
+    return (
+        extracted.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(resolve, batch_format="pandas")
+        .groupby(["url", "warc_ts"])
+        .map_groups(rebuild, batch_format="pandas")
+    )
