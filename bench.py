@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "interleave_sources",
     "host_graph",
     "pagerank",
+    "paragraph_dedup",
 ]
 
 
