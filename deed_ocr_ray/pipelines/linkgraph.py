@@ -17,12 +17,14 @@ Shuffle-conscious shapes (these hold at 10^12 documents / 10^8 hosts):
   the global ``groupby(src_host, dst_host)`` — the exchange carries
   distinct host-pairs per block, not one row per anchor tag.
 * **pagerank** iterates over HOST-cardinality tables only (ranks and
-  edges, never documents): one distributed hash join (ranks ⋈ edges on
-  src) + one ``groupby(dst)`` sum per iteration, dangling mass from a
-  scalar aggregate of the (tiny, host-sized) contribution table. Each
-  iteration ends in a ``materialize()`` barrier — same two Ray 2.49
-  landmines the dedup joins hit (empty-block schema broadcast race,
-  join+groupby single-plan deadlock; see dedup._coalesce_for_join).
+  edges, never documents), join-FREE: ranks and edges share a
+  ``hash(src_host) % NP`` partition column, one ``groupby(part)``
+  shuffle co-locates them per iteration, a vectorized pandas merge
+  computes contributions, and a ``groupby(dst)`` Sum folds them;
+  dangling mass comes from one scalar aggregate of the host-sized
+  contribution table (``Dataset.join`` costs ~0.9 s/call of
+  aggregator-actor startup — NOTES.md — which dominated an iterative
+  operator).
 """
 
 from __future__ import annotations
