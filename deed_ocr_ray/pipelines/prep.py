@@ -208,17 +208,37 @@ def paragraph_dedup_dataset(extracted: "ray.data.Dataset") -> "ray.data.Dataset"
             "block": pa.array(out["block"].tolist(), type=pa.string()),
         })
 
-    def rebuild(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values("idx")
-        n_total = int(g["tot"].iloc[0])
+    def add_doc_part(t: pa.Table) -> pa.Table:
+        # coarse-partition the reassembly: per-DOC map_groups pays one
+        # Ray UDF call per document (measured ~6 s of pure call
+        # overhead at 4.4k docs); hashing docs into PARA_PARTS groups
+        # and doing the per-doc fold with a local pandas groupby keeps
+        # the same exchange and drops the overhead
+        h = pd.util.hash_array(np.asarray(t["url"].to_pylist(),
+                                          dtype=object))
+        return t.append_column(
+            "dpart", pa.array((h % PARA_PARTS).astype(np.int32),
+                              type=pa.int32()))
+
+    def rebuild_part(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["url", "warc_ts", "idx"])
+        agg = g.groupby(["url", "warc_ts"], sort=False).agg(
+            clean_text=("block", "\n\n".join),
+            n_blocks=("block", "size"),
+            tot=("tot", "first"),
+        ).reset_index()
         return pa.table({
-            "url": pa.array([g["url"].iloc[0]], type=pa.string()),
-            "warc_ts": pa.Array.from_pandas(g["warc_ts"].iloc[:1],
+            "url": pa.array(agg["url"].tolist(), type=pa.string()),
+            "warc_ts": pa.Array.from_pandas(agg["warc_ts"],
                                             type=pa.timestamp("us")),
-            "clean_text": pa.array(["\n\n".join(g["block"])],
+            "clean_text": pa.array(agg["clean_text"].tolist(),
                                    type=pa.string()),
-            "n_blocks": pa.array([len(g)], type=pa.int64()),
-            "n_dropped": pa.array([n_total - len(g)], type=pa.int64()),
+            "n_blocks": pa.array(
+                agg["n_blocks"].to_numpy().astype(np.int64),
+                type=pa.int64()),
+            "n_dropped": pa.array(
+                (agg["tot"] - agg["n_blocks"]).to_numpy().astype(np.int64),
+                type=pa.int64()),
         })
 
     # docs whose every block was a duplicate vanish from the output
@@ -227,6 +247,7 @@ def paragraph_dedup_dataset(extracted: "ray.data.Dataset") -> "ray.data.Dataset"
         extracted.map_batches(explode, batch_format="pyarrow")
         .groupby("part")
         .map_groups(resolve, batch_format="pandas")
-        .groupby(["url", "warc_ts"])
-        .map_groups(rebuild, batch_format="pandas")
+        .map_batches(add_doc_part, batch_format="pyarrow")
+        .groupby("dpart")
+        .map_groups(rebuild_part, batch_format="pandas")
     )
