@@ -132,14 +132,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
         packing, prep, relational, similarity, sketches, textops, windows,
     )
 
-    # NOTE on ordering: the driver walks this dict in insertion order;
-    # in round 2 its overall budget cut off the last five entries, so
-    # the queries that have gone longest without a CORRECTNESS row run
-    # FIRST (similarity + multimodal), then the flagship family, then
-    # the oracle-green bulk.
+    # NOTE on ordering: the driver walks this dict in insertion order
+    # with a ~50-query budget per round. Tier 1 = the 30 queries with
+    # NO CORRECTNESS row in any round (r1-r3) — the whole
+    # curation/analysis/sketch wave. Tier 2 = queries whose oracle is
+    # new this round (paragraph_dedup, pagerank, doc_authority). Tier 3
+    # = last checked in r1/r2 only. Tier 4 = hash-green in r3.
     return {
-        # round-2 gate gap + round-3 newcomers: never/rarely
-        # driver-checked — keep first
+        # ------ tier 1: never driver-checked (r1-r3) — must run first
+        "stratified_split": curation.q_stratified_split,
+        "split_stats": curation.q_split_stats,
+        "pii_redact": curation.q_pii_redact,
+        "domain_stats": curation.q_domain_stats,
+        "length_histogram": curation.q_length_histogram,
+        "term_stats": curation.q_term_stats,
+        "dup_ngram_coverage": analysis.q_dup_ngram_coverage,
+        "tfidf_topk": analysis.q_tfidf_topk,
+        "event_gaps": analysis.q_event_gaps,
+        "revenue_rollup": analysis.q_revenue_rollup,
+        "revenue_cube": analysis.q_revenue_cube,
+        "token_rarity": analysis.q_token_rarity,
+        "remove_dup_ngrams": analysis.q_remove_dup_ngrams,
+        "lm_score": analysis.q_lm_score,
+        "corr_qty_discount": analysis.q_corr_qty_discount,
+        "quantity_percentiles": analysis.q_quantity_percentiles,
+        "retention_7d": analysis.q_retention,
+        "stratified_sample": curation.q_stratified_sample,
+        "source_mixture": curation.q_source_mixture,
+        "token_budget": curation.q_token_budget,
+        "decontaminate": curation.q_decontaminate,
+        "grouped_percentiles": analysis.q_grouped_percentiles,
+        "price_deciles": analysis.q_price_deciles,
+        "lang_pivot": analysis.q_lang_pivot,
+        "bloom_semijoin": sketches.q_bloom_semijoin,
+        "heavy_hitters": sketches.q_heavy_hitters,
+        "dau_hll": sketches.q_dau_hll,
+        "simhash_overflow": dedup.q_simhash_overflow,
+        "neardup_clusters": dedup.q_neardup_clusters,
+        "cluster_keep_best": dedup.q_cluster_keep_best,
+        # ------ tier 2: oracle newly added in round 4 — need a
+        # hash-checked row of record
+        "paragraph_dedup": prep.q_paragraph_dedup,
+        "pagerank": linkgraph.q_pagerank,
+        "doc_authority": linkgraph.q_doc_authority,
+        # ------ tier 3: last checked in r1/r2 only
+        "quality_score": textops.q_quality_score,
+        "fingerprint": textops.q_fingerprint,
+        "fingerprint_rolling": textops.q_fingerprint_rolling,
+        "top_terms": textops.q_top_terms,
+        "posting_pairs": textops.q_posting_pairs,
+        "bigram_counts": textops.q_bigram_counts,
+        "url_canon": textops.q_url_canon,
+        "canon_dedup": textops.q_canon_dedup,
+        "doc_sample": textops.q_doc_sample,
+        "lang_id": textops.q_lang_id,
+        "line_repetition": textops.q_line_repetition,
+        "compress_ratio": textops.q_compress_ratio,
+        "corpus_filter": textops.q_corpus_filter,
+        "pack_windows": packing.q_pack_windows,
+        "kmeans": packing.q_kmeans,
+        "exact_dedup": dedup.q_exact_dedup,
+        "minhash_pairs": dedup.q_minhash_pairs,
+        "simhash": dedup.q_simhash,
+        "simhash_near_pairs": dedup.q_simhash_near_pairs,
+        "jaccard_adjacent": dedup.q_jaccard_adjacent,
+        "hll_users": dedup.q_hll_users,
+        "minhash_validate": dedup.q_minhash_validate,
+        "lsh_overflow": dedup.q_lsh_overflow,
+        # ------ tier 4: hash-green in CORRECTNESS_r03
         "knn_cosine": similarity.q_knn_cosine,
         "knn_ivf": similarity.q_knn_ivf,
         "embedding_neardup": similarity.q_embedding_neardup,
@@ -153,14 +213,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenize": bpe.q_bpe_tokenize,
         "snapshot_diff": curation.q_snapshot_diff,
         "interleave_sources": packing.q_interleave_sources,
-        # link graph family (round 3; rows-only: HTML parse + iterative)
         "outlinks": linkgraph.q_outlinks,
         "host_graph": linkgraph.q_host_graph,
         "host_degree": linkgraph.q_host_degree,
-        "pagerank": linkgraph.q_pagerank,
         "anchor_terms": linkgraph.q_anchor_terms,
-        "doc_authority": linkgraph.q_doc_authority,
-        "paragraph_dedup": prep.q_paragraph_dedup,
         # flagship extraction (rows-only: non-SQL-expressible)
         "extract": _extract_query,
         "ensemble_extract": ensemble.q_ensemble_extract,
@@ -195,64 +251,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": textops.q_doc_normalize,
         "token_count": textops.q_token_count,
         "token_count_bpe": textops.q_token_count_bpe,
-        "quality_score": textops.q_quality_score,
-        "fingerprint": textops.q_fingerprint,
-        "fingerprint_rolling": textops.q_fingerprint_rolling,
-        "top_terms": textops.q_top_terms,
-        "posting_pairs": textops.q_posting_pairs,
-        "bigram_counts": textops.q_bigram_counts,
-        "url_canon": textops.q_url_canon,
-        "canon_dedup": textops.q_canon_dedup,
-        "doc_sample": textops.q_doc_sample,
-        "lang_id": textops.q_lang_id,
-        "line_repetition": textops.q_line_repetition,
-        "compress_ratio": textops.q_compress_ratio,
-        "corpus_filter": textops.q_corpus_filter,
-        # corpus curation (round 3; SQL oracles throughout)
-        "stratified_split": curation.q_stratified_split,
-        "split_stats": curation.q_split_stats,
-        "pii_redact": curation.q_pii_redact,
-        "domain_stats": curation.q_domain_stats,
-        "length_histogram": curation.q_length_histogram,
-        "term_stats": curation.q_term_stats,
-        # corpus analysis (round 3 widening #2; SQL oracles throughout)
-        "dup_ngram_coverage": analysis.q_dup_ngram_coverage,
-        "tfidf_topk": analysis.q_tfidf_topk,
-        "event_gaps": analysis.q_event_gaps,
-        "revenue_rollup": analysis.q_revenue_rollup,
-        "revenue_cube": analysis.q_revenue_cube,
-        "token_rarity": analysis.q_token_rarity,
-        "remove_dup_ngrams": analysis.q_remove_dup_ngrams,
-        "lm_score": analysis.q_lm_score,
-        "corr_qty_discount": analysis.q_corr_qty_discount,
-        "quantity_percentiles": analysis.q_quantity_percentiles,
-        "retention_7d": analysis.q_retention,
-        "stratified_sample": curation.q_stratified_sample,
-        "source_mixture": curation.q_source_mixture,
-        "token_budget": curation.q_token_budget,
-        "decontaminate": curation.q_decontaminate,
-        "grouped_percentiles": analysis.q_grouped_percentiles,
-        "price_deciles": analysis.q_price_deciles,
-        "lang_pivot": analysis.q_lang_pivot,
-        # probabilistic filters (round 3 widening #3)
-        "bloom_semijoin": sketches.q_bloom_semijoin,
-        "heavy_hitters": sketches.q_heavy_hitters,
-        "dau_hll": sketches.q_dau_hll,
-        # packing / iterative (prefix-sum + Lloyd's)
-        "pack_windows": packing.q_pack_windows,
-        "kmeans": packing.q_kmeans,
-        # dedup family
-        "exact_dedup": dedup.q_exact_dedup,
-        "minhash_pairs": dedup.q_minhash_pairs,
-        "simhash": dedup.q_simhash,
-        "simhash_near_pairs": dedup.q_simhash_near_pairs,
-        "jaccard_adjacent": dedup.q_jaccard_adjacent,
-        "hll_users": dedup.q_hll_users,
-        "minhash_validate": dedup.q_minhash_validate,
-        "lsh_overflow": dedup.q_lsh_overflow,
-        "simhash_overflow": dedup.q_simhash_overflow,
-        "neardup_clusters": dedup.q_neardup_clusters,
-        "cluster_keep_best": dedup.q_cluster_keep_best,
     }
 
 

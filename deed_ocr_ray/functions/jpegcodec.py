@@ -420,6 +420,12 @@ def _parse(data: bytes, header_only: bool = False):
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker; real encoders emit them, so skip the padding run
+        while pos + 4 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            break
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI before SOS
             break

@@ -29,6 +29,10 @@ def cached_get(ref) -> Any:
     key = ref.hex()
     if key not in _CACHE:
         if len(_CACHE) >= _MAX_ENTRIES:
-            _CACHE.clear()
+            # evict the OLDEST entry only (dict preserves insertion
+            # order) — clearing the whole cache would force every hot
+            # broadcast on this worker to re-deserialize on its next
+            # batch just because a 17th distinct ref showed up
+            _CACHE.pop(next(iter(_CACHE)))
         _CACHE[key] = ray.get(ref)
     return _CACHE[key]

@@ -735,7 +735,11 @@ Q_DECONTAMINATE_SQL = decontaminate_sql()
 DIFF_DROP_MOD = 13     # docs removed in snapshot B
 DIFF_EDIT_MOD = 7      # docs whose text changed in snapshot B
 DIFF_ADD_MOD = 11      # docs with a NEW derived doc in snapshot B
-DIFF_ADD_BASE = 1_000_000
+# Added docs in snapshot B get key -(doc_id) - 1: real doc_ids are
+# non-negative, so the synthetic keys can never alias a real doc no
+# matter how large the corpus grows (a fixed +1e6 offset would collide
+# once doc_ids reach 1M, and the Max-fold operator and the FULL OUTER
+# JOIN oracle diverge differently on aliased keys).
 
 
 def q_snapshot_diff(sf_dir: str) -> "ray.data.Dataset":
@@ -744,8 +748,8 @@ def q_snapshot_diff(sf_dir: str) -> "ray.data.Dataset":
     incremental-refresh primitive (re-process only the delta, not the
     100 TB). Snapshot B is derived DETERMINISTICALLY from the documents
     table (drop ``doc_id % 13 == 0``, upper-case ``% 7 == 0``, add a
-    ``+1e6``-keyed variant for ``% 11 == 0``) so the oracle constructs
-    the identical pair of snapshots in SQL.
+    ``-doc_id-1``-keyed variant for ``% 11 == 0``) so the oracle
+    constructs the identical pair of snapshots in SQL.
 
     Scale shape: ONE read emits both sides' slim (doc_id, fp) rows from
     the same batch — the text is hashed in place and never crosses the
@@ -772,7 +776,7 @@ def q_snapshot_diff(sf_dir: str) -> "ray.data.Dataset":
                 ids.append(did); a_fp.append("")
                 b_fp.append(_hl.md5(bt.encode()).hexdigest())
             if did % DIFF_ADD_MOD == 0:
-                ids.append(did + DIFF_ADD_BASE); a_fp.append("")
+                ids.append(-did - 1); a_fp.append("")
                 b_fp.append(_hl.md5((txt + " v2").encode()).hexdigest())
         return pa.table({
             "doc_id": pa.array(ids, type=pa.int64()),
@@ -808,7 +812,7 @@ b AS (
                   ELSE text END) AS fp
   FROM documents WHERE doc_id % {DIFF_DROP_MOD} <> 0
   UNION ALL
-  SELECT doc_id + {DIFF_ADD_BASE}, md5(text || ' v2')
+  SELECT -doc_id - 1, md5(text || ' v2')
   FROM documents WHERE doc_id % {DIFF_ADD_MOD} = 0
 )
 SELECT doc_id, change FROM (

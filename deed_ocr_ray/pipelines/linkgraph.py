@@ -588,7 +588,8 @@ def q_doc_authority(sf_dir: str) -> "ray.data.Dataset":
     # broadcast ref is a local object-store hit after the first task
     # per worker.
     def annotate(t: pa.Table) -> pa.Table:
-        rk = _ray.get(ranks_ref)
+        from .broadcast import cached_get
+        rk = cached_get(ranks_ref)  # per-worker memo, not a per-batch deserialize
         ok = pc.equal(t["status"], pa.scalar("ok"))
         urls = pc.filter(t["url"], ok)
         hosts = [host_of_url(u) for u in urls.to_pylist()]

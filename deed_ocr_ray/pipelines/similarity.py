@@ -345,6 +345,10 @@ def pca_fit(sf_dir: str, k: int = PCA_COMPONENTS):
     rows = [r for r in ds.map_batches(partials, batch_format="pyarrow").take_all()
             if r["n"] > 0]
     n = sum(r["n"] for r in rows)
+    if n < 2:
+        # covariance needs >= 2 samples (the n-1 divisor); match the
+        # explicit n_edges==0 / n_docs==0 guards of sibling operators
+        raise ValueError(f"pca_fit needs >= 2 embeddings, got {n}")
     d = len(rows[0]["s"])
     s = np.zeros(d); g = np.zeros((d, d))
     for r in rows:

@@ -78,6 +78,25 @@ def test_decode_is_deterministic():
     assert encode_jpeg(_gradient(17, 19), quality=80, subsample=True) == data
 
 
+def test_fill_bytes_before_markers_are_skipped():
+    # T.81 B.1.1.2: any run of 0xFF fill bytes may precede a marker;
+    # many real encoders pad. Inject padding before every non-SOI
+    # marker segment and require an identical decode.
+    data = encode_jpeg(_gradient(17, 19), quality=80, subsample=True)
+    padded = bytearray(data[:2])
+    pos = 2
+    while pos + 4 <= len(data):
+        padded += b"\xff\xff\xff"  # fill run
+        marker = data[pos + 1]
+        if marker == 0xDA:  # SOS: rest is entropy-coded, copy verbatim
+            padded += data[pos:]
+            break
+        ln = int.from_bytes(data[pos + 2:pos + 4], "big")
+        padded += data[pos:pos + 2 + ln]
+        pos += 2 + ln
+    assert np.array_equal(decode_jpeg(bytes(padded)), decode_jpeg(data))
+
+
 def test_error_contracts():
     good = encode_jpeg(_gradient(16, 16))
     with pytest.raises(ValueError):
