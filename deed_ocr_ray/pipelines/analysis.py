@@ -354,49 +354,61 @@ SELECT event_id, user_id, CAST(e - prev_e AS BIGINT) AS gap_us FROM (
 
 def _fine_region_nation_revenue(sf_dir: str) -> "ray.data.Dataset":
     """Shared finest-grain aggregate for the multi-grain revenue ops:
-    broadcast nation/region lookup + per-batch integer-cents partials
-    + slim groupby (the ``q_nation_revenue`` shape). One row per
-    (region, nation) composite key ``rn`` with integer cents + count.
+    the ``q_nation_revenue`` shape — per-custkey order totals joined
+    distributed against the sf-SCALED customer table (never a driver
+    dict), with the fixed 25/5-row nation/region dims folded in as a
+    closure lookup. One row per (region, nation) composite key ``rn``
+    with integer cents + count.
     """
 
     import pyarrow.parquet as pq
-    import ray as _ray
 
-    from .relational import _keyed_lookup_partial
+    from .dedup import _coalesce_for_join, _join_parts_for
+    from .relational import _per_custkey_order_totals
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name", "n_regionkey"])
     region = pq.read_table(f"{sf_dir}/region.parquet",
                            columns=["r_regionkey", "r_name"])
     rname = dict(zip(region.column("r_regionkey").to_pylist(),
                      region.column("r_name").to_pylist()))
-    nk_to_pair = {
-        nk: (rname.get(rk, "UNKNOWN"), nm)
+    # composite "region\x1fnation" value so downstream grain expansion
+    # splits one string key
+    nk_to_rn = {
+        nk: "\x1f".join((rname.get(rk, "UNKNOWN"), nm))
         for nk, nm, rk in zip(nation.column("n_nationkey").to_pylist(),
                               nation.column("n_name").to_pylist(),
                               nation.column("n_regionkey").to_pylist())
     }
-    # composite "region\x1fnation" key so the existing single-key
-    # broadcast-lookup partial stage applies unchanged
-    pair_of = {
-        ck: "\x1f".join(nk_to_pair.get(nk, ("UNKNOWN", "UNKNOWN")))
-        for ck, nk in zip(cust.column("c_custkey").to_pylist(),
-                          cust.column("c_nationkey").to_pylist())
-    }
-    pair_ref = _ray.put(pair_of)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                               columns=["o_custkey", "o_totalprice"])
-    partials = ds.map_batches(
-        _keyed_lookup_partial(pair_ref, "o_custkey", "rn"),
-        batch_format="pyarrow",
-    )
-    return partials.groupby("rn").aggregate(
-        Sum("price_c_sum", alias_name="cents"),
-        Sum("price_c_count", alias_name="n_orders"),
-    )
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    agg, n_agg = _coalesce_for_join(_per_custkey_order_totals(sf_dir))
+    if n_agg == 0:
+        return ray.data.from_arrow(pa.table({
+            "rn": pa.array([], type=pa.string()),
+            "cents": pa.array([], type=pa.int64()),
+            "n_orders": pa.array([], type=pa.int64()),
+        }))
+    joined = agg.join(cust, join_type="inner",
+                      num_partitions=_join_parts_for(n_agg),
+                      on=("o_custkey",), right_on=("c_custkey",))
+
+    def rn_partial(t: pa.Table) -> pa.Table:
+        rn = [nk_to_rn.get(nk, "UNKNOWN\x1fUNKNOWN")
+              for nk in t["c_nationkey"].to_pylist()]
+        t2 = pa.table({
+            "rn": pa.array(rn, type=pa.string()),
+            "cents": t["cents"],
+            "n_cust_orders": t["n_cust_orders"],
+        })
+        return t2.group_by("rn").aggregate(
+            [("cents", "sum"), ("n_cust_orders", "sum")])
+
+    return (joined.map_batches(rn_partial, batch_format="pyarrow")
+            .groupby("rn")
+            .aggregate(Sum("cents_sum", alias_name="cents"),
+                       Sum("n_cust_orders_sum", alias_name="n_orders")))
 
 
 def _grain_expand(fine: "ray.data.Dataset", grains) -> "ray.data.Dataset":
@@ -408,7 +420,7 @@ def _grain_expand(fine: "ray.data.Dataset", grains) -> "ray.data.Dataset":
     import pyarrow.compute as pc
 
     def expand(t: pa.Table) -> pa.Table:
-        # _keyed_lookup_partial's miss default is a bare "UNKNOWN": pad
+        # defensive pad in case a composite key ever misses a separator
         pairs = [(s.split("\x1f") + ["UNKNOWN"])[:2] for s in t["rn"].to_pylist()]
         cents = t["cents"].to_pylist()
         cnt = t["n_orders"].to_pylist()

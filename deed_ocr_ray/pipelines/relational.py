@@ -7,10 +7,14 @@ top-k D5, lookup joins J1/J3) as idiomatic Ray Data:
 * **partial aggregation**: per-batch ``pyarrow.Table.group_by`` partials
   inside ``map_batches``, then a tiny ``Dataset.groupby`` over partials —
   the shuffle moves one row per (key, batch) instead of every input row;
-* **broadcast joins**: dimension tables (customer, nation) are read once
-  on the driver and shipped to batch tasks as a dict — no all-to-all
-  shuffle for a small side;
-* **hash-partitioned join**: ``Dataset.join`` where both sides scale;
+* **broadcast joins**: FIXED-cardinality dimension tables (nation=25,
+  region=5 rows at every sf) are read once on the driver and folded
+  into batch tasks as a dict — no all-to-all shuffle for a constant
+  side;
+* **hash-partitioned join**: ``Dataset.join`` wherever a side scales
+  with sf (customer, part, supplier, lineitem, orders) — a 100-TB
+  run's customer table fits in no driver dict, so pre-aggregated slim
+  rows are co-partitioned with the dim instead;
 * **decimal-exact money math**: prices are converted per row to integer
   cents with half-away-from-zero rounding, summed as int64 (order-
   independent, bit-deterministic), and divided back at the end — so
@@ -174,59 +178,62 @@ LIMIT 10
 """
 
 
-def _keyed_lookup_partial(lookup_ref, key_col: str, out_col: str):
-    """Task-pool keyed broadcast lookup + per-batch partial aggregate.
-    The lookup dict is ``ray.put`` once on the driver and deserialized
-    once PER WORKER via :func:`broadcast.cached_get` — the canonical
-    small-side broadcast join (no shuffle, nothing re-shipped per
-    batch) without the ~3 s short-stage actor-pool startup tax
-    (NOTES.md)."""
-    from .broadcast import cached_get
-
-    def partial(t: pa.Table) -> pa.Table:
-        lookup = cached_get(lookup_ref)
-        keys = t[key_col].to_pylist()
-        names = [lookup.get(k, "UNKNOWN") for k in keys]
-        t2 = pa.table({
-            out_col: pa.array(names, type=pa.string()),
-            "price_c": _cents(t["o_totalprice"]),
-        })
-        return t2.group_by(out_col).aggregate(
-            [("price_c", "sum"), ("price_c", "count")]
-        )
-
-    return partial
-
-
-def q_mktsegment_orders(sf_dir: str) -> "ray.data.Dataset":
-    """Broadcast join orders ⋈ customer (small dim side broadcast once
-    via the object store — no shuffle), grouped by market segment.
-
-    Columns: c_mktsegment, n_orders, total_price.
-    """
-    import pyarrow.parquet as pq
-
-    import ray as _ray
-
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    seg_of = dict(zip(cust.column("c_custkey").to_pylist(),
-                      cust.column("c_mktsegment").to_pylist()))
-    # canonical broadcast: ray.put the dim table ONCE; each actor fetches
-    # it in __init__ (never re-shipped per batch)
-    seg_ref = _ray.put(seg_of)
-
+def _per_custkey_order_totals(sf_dir: str) -> "ray.data.Dataset":
+    """Orders pre-aggregated to ONE slim row per purchasing customer
+    (o_custkey, cents, n_cust_orders) — per-batch partial combine, then
+    a groupby over partials, so the shuffle carries one row per
+    (custkey, batch), never one per order."""
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                columns=["o_custkey", "o_totalprice"])
 
-    partials = ds.map_batches(
-        _keyed_lookup_partial(seg_ref, "o_custkey", "c_mktsegment"),
-        batch_format="pyarrow",
-    )
-    agg = partials.groupby("c_mktsegment").aggregate(
-        Sum("price_c_sum", alias_name="cents"),
-        Sum("price_c_count", alias_name="n_orders"),
-    )
-    return agg.map_batches(
+    def partial(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"o_custkey": t["o_custkey"],
+                       "price_c": _cents(t["o_totalprice"])})
+        return t2.group_by("o_custkey").aggregate(
+            [("price_c", "sum"), ("price_c", "count")])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .aggregate(Sum("price_c_sum", alias_name="cents"),
+                       Sum("price_c_count", alias_name="n_cust_orders")))
+
+
+def q_mktsegment_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Distributed hash join orders ⋈ customer, grouped by market
+    segment. Customer SCALES WITH SF, so it is NOT broadcast (a
+    driver-side dict of a 100-TB run's customer table fits nowhere):
+    orders are pre-aggregated to one slim row per purchasing customer,
+    then ``Dataset.join`` co-partitions both sides. Only the fixed-
+    cardinality dims (nation=25, region=5) stay broadcast elsewhere.
+
+    Columns: c_mktsegment, n_orders, total_price.
+    """
+    from .dedup import _coalesce_for_join, _join_parts_for
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    # barrier doubles as the empty-first-block join guard (dedup notes)
+    agg, n_agg = _coalesce_for_join(_per_custkey_order_totals(sf_dir))
+    if n_agg == 0:
+        return ray.data.from_arrow(pa.table({
+            "c_mktsegment": pa.array([], type=pa.string()),
+            "n_orders": pa.array([], type=pa.int64()),
+            "total_price": pa.array([], type=pa.float64()),
+        }))
+    joined = agg.join(cust, join_type="inner",
+                      num_partitions=_join_parts_for(n_agg),
+                      on=("o_custkey",), right_on=("c_custkey",))
+
+    def seg_partial(t: pa.Table) -> pa.Table:
+        return (t.select(["c_mktsegment", "cents", "n_cust_orders"])
+                .group_by("c_mktsegment")
+                .aggregate([("cents", "sum"), ("n_cust_orders", "sum")]))
+
+    agg2 = (joined.map_batches(seg_partial, batch_format="pyarrow")
+            .groupby("c_mktsegment")
+            .aggregate(Sum("cents_sum", alias_name="cents"),
+                       Sum("n_cust_orders_sum", alias_name="n_orders")))
+    return agg2.map_batches(
         lambda t: pa.table({
             "c_mktsegment": t["c_mktsegment"],
             "n_orders": t["n_orders"],
@@ -246,38 +253,55 @@ GROUP BY 1
 
 
 def q_nation_revenue(sf_dir: str) -> "ray.data.Dataset":
-    """3-way lookup join orders ⋈ customer ⋈ nation via one composed
-    broadcast map (custkey -> nation name), grouped by nation.
+    """3-way join orders ⋈ customer ⋈ nation, grouped by nation.
+    Customer scales with sf → distributed hash join against the
+    per-custkey order totals; nation is FIXED at 25 rows → broadcast
+    lookup folded into the post-join partial (the size-cutoff split the
+    100-TB plan needs: join the scaling side, broadcast the constant
+    side).
 
     Columns: n_name, n_orders, total_price.
     """
     import pyarrow.parquet as pq
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    from .dedup import _coalesce_for_join, _join_parts_for
+
+    # nation is constant-25-rows (not sf-scaled): legit driver read
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
     nname = dict(zip(nation.column("n_nationkey").to_pylist(),
                      nation.column("n_name").to_pylist()))
-    nation_of = {
-        ck: nname.get(nk, "UNKNOWN")
-        for ck, nk in zip(cust.column("c_custkey").to_pylist(),
-                          cust.column("c_nationkey").to_pylist())
-    }
 
-    import ray as _ray
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    agg, n_agg = _coalesce_for_join(_per_custkey_order_totals(sf_dir))
+    if n_agg == 0:
+        return ray.data.from_arrow(pa.table({
+            "n_name": pa.array([], type=pa.string()),
+            "n_orders": pa.array([], type=pa.int64()),
+            "total_price": pa.array([], type=pa.float64()),
+        }))
+    joined = agg.join(cust, join_type="inner",
+                      num_partitions=_join_parts_for(n_agg),
+                      on=("o_custkey",), right_on=("c_custkey",))
 
-    nation_ref = _ray.put(nation_of)  # broadcast once (see _keyed_lookup_partial)
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                               columns=["o_custkey", "o_totalprice"])
+    def nation_partial(t: pa.Table) -> pa.Table:
+        # 25-entry closure dict: shipped once per task spec, O(1) lookups
+        names = [nname.get(nk, "UNKNOWN")
+                 for nk in t["c_nationkey"].to_pylist()]
+        t2 = pa.table({
+            "n_name": pa.array(names, type=pa.string()),
+            "cents": t["cents"],
+            "n_cust_orders": t["n_cust_orders"],
+        })
+        return t2.group_by("n_name").aggregate(
+            [("cents", "sum"), ("n_cust_orders", "sum")])
 
-    partials = ds.map_batches(
-        _keyed_lookup_partial(nation_ref, "o_custkey", "n_name"),
-        batch_format="pyarrow",
-    )
-    agg = partials.groupby("n_name").aggregate(
-        Sum("price_c_sum", alias_name="cents"),
-        Sum("price_c_count", alias_name="n_orders"),
-    )
-    return agg.map_batches(
+    agg2 = (joined.map_batches(nation_partial, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Sum("cents_sum", alias_name="cents"),
+                       Sum("n_cust_orders_sum", alias_name="n_orders")))
+    return agg2.map_batches(
         lambda t: pa.table({
             "n_name": t["n_name"],
             "n_orders": t["n_orders"],
@@ -363,69 +387,104 @@ FROM documents GROUP BY 1
 """
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from the parquet FOOTER only — join-partition sizing
+    without reading any data pages (not a driver materialization)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def q_region_part_revenue(sf_dir: str) -> "ray.data.Dataset":
-    """5-table star join via composed broadcast lookups: lineitem joined
-    to part (p_type) and supplier->nation->region (r_name), grouped by
-    (r_name, p_type). The dimension tables are the canonical broadcast
-    small sides (built once driver-side; at cluster scale: ray.put +
-    actor __init__); only the pre-aggregated partials shuffle.
+    """5-table star join: lineitem ⋈ part (p_type) ⋈ supplier → nation
+    → region (r_name), grouped by (r_name, p_type). Part and supplier
+    SCALE WITH SF → distributed hash joins (the fact table crosses the
+    partkey exchange once, then pre-combined (p_type, suppkey) partials
+    cross the suppkey exchange); nation/region are FIXED 25/5 rows →
+    folded into the supplier side as a closure lookup.
     Columns: r_name, p_type, n_items, revenue_cents."""
     import pyarrow.parquet as pq
 
-    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
-    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
-    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
-    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    from .dedup import _coalesce_for_join, _join_parts_for
+
+    # fixed-cardinality dims (25/5 rows, not sf-scaled): driver read
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
     rname = dict(zip(region.column("r_regionkey").to_pylist(),
                      region.column("r_name").to_pylist()))
     nregion = {nk: rname.get(rk, "UNKNOWN")
                for nk, rk in zip(nation.column("n_nationkey").to_pylist(),
                                  nation.column("n_regionkey").to_pylist())}
-    region_of_supp = {sk: nregion.get(nk, "UNKNOWN")
-                      for sk, nk in zip(supp.column("s_suppkey").to_pylist(),
-                                        supp.column("s_nationkey").to_pylist())}
-    type_of_part = dict(zip(part.column("p_partkey").to_pylist(),
-                            part.column("p_type").to_pylist()))
 
-    import ray as _ray
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_type"])
+    # supplier → (s_suppkey, r_name): the 25-entry nation→region map is
+    # applied distributed, so the supplier dim never lands on the driver
+    supp = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                 columns=["s_suppkey", "s_nationkey"])
 
-    dims_ref = _ray.put((region_of_supp, type_of_part))  # broadcast once
+    def supp_region(t: pa.Table) -> pa.Table:
+        rn = [nregion.get(nk, "UNKNOWN")
+              for nk in t["s_nationkey"].to_pylist()]
+        return pa.table({"s_suppkey": t["s_suppkey"],
+                         "r_name": pa.array(rn, type=pa.string())})
+
+    supp_r = supp.map_batches(supp_region, batch_format="pyarrow")
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
 
-    from .broadcast import cached_get
-
-    def star_partial(t: pa.Table) -> pa.Table:
-        # task-pool stage: both dim lookups deserialized once per
-        # WORKER (broadcast.cached_get), not once per actor
-        region_of_supp, type_of_part = cached_get(dims_ref)
+    def slim(t: pa.Table) -> pa.Table:
         # revenue cents = floor(ep*(1-disc)*100 + 0.5): same IEEE
         # double expression as the oracle -> bit-identical integers
         rev = pc.cast(pc.floor(pc.add(pc.multiply(
             pc.multiply(t["l_extendedprice"],
                         pc.subtract(pa.scalar(1.0), t["l_discount"])),
             100.0), 0.5)), pa.int64())
-        rn = [region_of_supp.get(k, "UNKNOWN")
-              for k in t["l_suppkey"].to_pylist()]
-        pt = [type_of_part.get(k, "UNKNOWN")
-              for k in t["l_partkey"].to_pylist()]
-        t2 = pa.table({
-            "r_name": pa.array(rn, type=pa.string()),
-            "p_type": pa.array(pt, type=pa.string()),
-            "rev": rev,
-        })
-        return t2.group_by(["r_name", "p_type"]).aggregate(
-            [("rev", "sum"), ("rev", "count")]
-        )
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "l_suppkey": t["l_suppkey"], "rev": rev})
 
-    partials = ds.map_batches(star_partial, batch_format="pyarrow")
-    agg = partials.groupby(["r_name", "p_type"]).aggregate(
-        Sum("rev_sum", alias_name="revenue_cents"),
-        Sum("rev_count", alias_name="n_items"),
+    n_li = _parquet_rows(f"{sf_dir}/lineitem.parquet")
+    j1 = ds.map_batches(slim, batch_format="pyarrow").join(
+        part, join_type="inner", num_partitions=_join_parts_for(n_li),
+        on=("l_partkey",), right_on=("p_partkey",),
     )
+
+    def type_supp_partial(t: pa.Table) -> pa.Table:
+        # combine before the second exchange: |p_type| x |suppliers in
+        # batch| rows cross, not one per lineitem
+        return (t.select(["p_type", "l_suppkey", "rev"])
+                .group_by(["p_type", "l_suppkey"])
+                .aggregate([("rev", "sum"), ("rev", "count")]))
+
+    # barrier between the two join shuffles (single-plan join+shuffle
+    # deadlock landmine) — bounded: <= |p_type| x |supplier| slim rows
+    mid, n_mid = _coalesce_for_join(
+        j1.map_batches(type_supp_partial, batch_format="pyarrow"))
+    if n_mid == 0:
+        return ray.data.from_arrow(pa.table({
+            "r_name": pa.array([], type=pa.string()),
+            "p_type": pa.array([], type=pa.string()),
+            "n_items": pa.array([], type=pa.int64()),
+            "revenue_cents": pa.array([], type=pa.int64()),
+        }))
+    j2 = mid.join(supp_r, join_type="inner",
+                  num_partitions=_join_parts_for(n_mid),
+                  on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def region_partial(t: pa.Table) -> pa.Table:
+        return (t.select(["r_name", "p_type", "rev_sum", "rev_count"])
+                .group_by(["r_name", "p_type"])
+                .aggregate([("rev_sum", "sum"), ("rev_count", "sum")]))
+
+    agg = (j2.map_batches(region_partial, batch_format="pyarrow")
+           .groupby(["r_name", "p_type"])
+           .aggregate(Sum("rev_sum_sum", alias_name="revenue_cents"),
+                      Sum("rev_count_sum", alias_name="n_items")))
     return agg.map_batches(
         lambda t: pa.table({
             "r_name": t["r_name"],
@@ -507,41 +566,49 @@ def q_top_parts_per_nation(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
     import pandas as pd
     import pyarrow.parquet as pq
 
-    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    from .dedup import _join_parts_for
+
+    # nation is constant-25-rows: driver read is the legit broadcast;
+    # supplier SCALES with sf -> stays distributed, annotated in place
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     nname = dict(zip(nation.column("n_nationkey").to_pylist(),
                      nation.column("n_name").to_pylist()))
-    nation_of_supp = {sk: nname.get(nk, "UNKNOWN")
-                      for sk, nk in zip(supp.column("s_suppkey").to_pylist(),
-                                        supp.column("s_nationkey").to_pylist())}
 
-    import ray as _ray
+    supp = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                 columns=["s_suppkey", "s_nationkey"])
 
-    dim_ref = _ray.put(nation_of_supp)  # broadcast once
+    def supp_nation(t: pa.Table) -> pa.Table:
+        nn = [nname.get(nk, "UNKNOWN") for nk in t["s_nationkey"].to_pylist()]
+        return pa.table({"s_suppkey": t["s_suppkey"],
+                         "n_name": pa.array(nn, type=pa.string())})
+
+    supp_n = supp.map_batches(supp_nation, batch_format="pyarrow")
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
 
-    from .broadcast import cached_get
-
-    def nation_partial(t: pa.Table) -> pa.Table:
-        nation_of_supp = cached_get(dim_ref)  # once per worker
+    def slim(t: pa.Table) -> pa.Table:
         rev = pc.cast(pc.floor(pc.add(pc.multiply(
             pc.multiply(t["l_extendedprice"],
                         pc.subtract(pa.scalar(1.0), t["l_discount"])),
             100.0), 0.5)), pa.int64())
-        nn = [nation_of_supp.get(s, "UNKNOWN")
-              for s in t["l_suppkey"].to_pylist()]
-        t2 = pa.table({
-            "n_name": pa.array(nn, type=pa.string()),
-            "l_partkey": t["l_partkey"],
-            "rev": rev,
-        })
-        return t2.group_by(["n_name", "l_partkey"]).aggregate([("rev", "sum")])
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "l_suppkey": t["l_suppkey"], "rev": rev})
 
-    partials = ds.map_batches(nation_partial, batch_format="pyarrow")
+    n_li = _parquet_rows(f"{sf_dir}/lineitem.parquet")
+    joined = ds.map_batches(slim, batch_format="pyarrow").join(
+        supp_n, join_type="inner", num_partitions=_join_parts_for(n_li),
+        on=("l_suppkey",), right_on=("s_suppkey",),
+    )
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        return (t.select(["n_name", "l_partkey", "rev"])
+                .group_by(["n_name", "l_partkey"])
+                .aggregate([("rev", "sum")]))
+
+    partials = joined.map_batches(nation_partial, batch_format="pyarrow")
     totals = partials.groupby(["n_name", "l_partkey"]).aggregate(
         Sum("rev_sum", alias_name="revenue_cents")
     )
