@@ -173,8 +173,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ------ tier 2: oracle newly added in round 4 — need a
         # hash-checked row of record
         "paragraph_dedup": prep.q_paragraph_dedup,
-        "pagerank": linkgraph.q_pagerank,
+        "pagerank": linkgraph.q_pagerank_checked,
         "doc_authority": linkgraph.q_doc_authority,
+        "paragraph_dedup_extracted": prep.q_paragraph_dedup_extracted,
         # ------ tier 3: last checked in r1/r2 only
         "quality_score": textops.q_quality_score,
         "fingerprint": textops.q_fingerprint,
@@ -341,7 +342,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _linkgraph_oracles() -> dict[str, str]:
-    from deed_ocr_ray.pipelines import linkgraph
+    from deed_ocr_ray.pipelines import linkgraph, prep
     from deed_ocr_ray.pipelines.corpus import pages_corpus_for
 
     corpus = pages_corpus_for("/root/testdata/sf0.01")
@@ -351,4 +352,8 @@ def _linkgraph_oracles() -> dict[str, str]:
         "host_graph": linkgraph.host_graph_sql(corpus),
         "host_degree": linkgraph.host_degree_sql(corpus),
         "anchor_terms": linkgraph.anchor_terms_sql(corpus),
+        # round-4 upgrades: rows-only -> value-hash-checked
+        "pagerank": linkgraph.pagerank_sql(corpus),
+        "doc_authority": linkgraph.doc_authority_sql(corpus),
+        "paragraph_dedup": prep.paragraph_dedup_sql(corpus),
     }

@@ -512,10 +512,87 @@ def pagerank_dataset(
 def q_pagerank(sf_dir: str, damping: float = PR_DAMPING,
                n_iter: int = PR_ITERS) -> "ray.data.Dataset":
     """PageRank over the corpus host graph (fixed ``n_iter`` power
-    iterations, deterministic). Columns: host, rank. (No SQL oracle:
-    iterative; audited vs a dense numpy reference in pytest.)"""
+    iterations, deterministic). Columns: host, rank (float64 — the
+    composition-friendly form; the driver-gate entry is
+    :func:`q_pagerank_checked`, which emits integer ppb so the value
+    hash is robust to summation-order ulps)."""
     return pagerank_dataset(q_host_graph(sf_dir), damping=damping,
                             n_iter=n_iter)
+
+
+def _ppb(ranks: pa.ChunkedArray) -> pa.Array:
+    """float64 rank -> integer parts-per-billion with the same IEEE
+    expression as the SQL oracle (``floor(r*1e9 + 0.5)``): distributed
+    and DuckDB summation orders differ by ~1 ulp, which repr-exact
+    float hashing would flag; ppb absorbs it."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(ranks, 1e9), 0.5)),
+                   pa.int64())
+
+
+def q_pagerank_checked(sf_dir: str, damping: float = PR_DAMPING,
+                       n_iter: int = PR_ITERS) -> "ray.data.Dataset":
+    """Gate-facing PageRank: host + rank_ppb (int64). Oracle:
+    ``pagerank_sql`` — the same ``n_iter`` power iterations unrolled
+    as DuckDB CTEs over the same links CTE the other link-graph
+    oracles replay."""
+    ds = q_pagerank(sf_dir, damping=damping, n_iter=n_iter)
+    return ds.map_batches(
+        lambda t: pa.table({"host": t["host"], "rank_ppb": _ppb(t["rank"])}),
+        batch_format="pyarrow")
+
+
+def _pagerank_ctes(corpus: str, damping: float = PR_DAMPING,
+                   n_iter: int = PR_ITERS) -> str:
+    """WITH-body CTE chain replaying ``pagerank_dataset`` in DuckDB:
+    links → weighted host graph → out-link probabilities → ``n_iter``
+    unrolled power iterations with the operator's exact update rule
+    rank' = d·S(h) + (1−d)/N + d·dangling/N (dangling = 1 − ΣS,
+    clamped at 0). Ends at CTE ``r{n_iter}`` (host, rank)."""
+    its = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        its.append(f"""
+s{k} AS (
+  SELECT h.host, COALESCE(SUM(e.p * {prev}.rank), 0.0) AS s
+  FROM hosts h
+  LEFT JOIN ep e ON e.dst_host = h.host
+  LEFT JOIN {prev} ON {prev}.host = e.src_host
+  GROUP BY h.host
+),
+r{k} AS (
+  SELECT host,
+         {damping!r}*s + (1.0 - {damping!r})/(SELECT n FROM nn)
+         + {damping!r}*greatest(0.0, 1.0 - (SELECT SUM(s) FROM s{k}))
+           /(SELECT n FROM nn) AS rank
+  FROM s{k}
+)""")
+        prev = f"r{k}"
+    return f"""{_links_cte(corpus)},
+hg AS (
+  SELECT src_host, dst_host, CAST(count(*) AS DOUBLE) AS n
+  FROM links GROUP BY 1, 2
+),
+hosts AS (
+  SELECT DISTINCT host FROM (
+    SELECT src_host AS host FROM hg UNION ALL SELECT dst_host FROM hg)
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM hosts),
+ep AS (
+  SELECT src_host, dst_host,
+         n / SUM(n) OVER (PARTITION BY src_host) AS p
+  FROM hg
+),
+r0 AS (SELECT host, 1.0/(SELECT n FROM nn) AS rank FROM hosts),
+{','.join(its)}"""
+
+
+def pagerank_sql(corpus: str, damping: float = PR_DAMPING,
+                 n_iter: int = PR_ITERS) -> str:
+    return f"""
+WITH {_pagerank_ctes(corpus, damping, n_iter)}
+SELECT host, CAST(floor(rank*1e9 + 0.5) AS BIGINT) AS rank_ppb
+FROM r{n_iter}
+"""
 
 
 # ----------------------------------------------------------- compositions
@@ -568,7 +645,10 @@ def q_doc_authority(sf_dir: str) -> "ray.data.Dataset":
     once, ``ray.put`` once, dict-lookup inside ``map_batches`` — never
     a doc-cardinality shuffle. (Beyond broadcastable host counts,
     swap the lookup for a hash ``Dataset.join`` on ``host``.)
-    Columns: url, host, rank, n_chars."""
+    Columns: url, warc_ts, host, rank_ppb — integer ppb so the DuckDB
+    oracle (``doc_authority_sql``: ok-ness replayed from the fixture's
+    class-deterministic doc_id = (warc_ts − epoch)/137 s, ranks from
+    the unrolled-CTE PageRank) hashes exactly."""
     import ray as _ray
 
     from ..sources.pages import read_pages
@@ -579,7 +659,7 @@ def q_doc_authority(sf_dir: str) -> "ray.data.Dataset":
 
     corpus = pages_corpus_for(sf_dir)
     docs = extract_dataset(read_pages(corpus)).select_columns(
-        ["url", "status", "n_chars"])
+        ["url", "warc_ts", "status"])
 
     # task-pool stage, NOT a second actor pool: the extraction stage
     # already holds a prestarted fractional-CPU pool, and a second pool
@@ -593,12 +673,38 @@ def q_doc_authority(sf_dir: str) -> "ray.data.Dataset":
         ok = pc.equal(t["status"], pa.scalar("ok"))
         urls = pc.filter(t["url"], ok)
         hosts = [host_of_url(u) for u in urls.to_pylist()]
+        rank = pa.array([rk.get(h, 0.0) for h in hosts], type=pa.float64())
         return pa.table({
             "url": urls,
+            "warc_ts": pc.filter(t["warc_ts"], ok).cast(pa.timestamp("us")),
             "host": pa.array(hosts, type=pa.string()),
-            "rank": pa.array([rk.get(h, 0.0) for h in hosts],
-                             type=pa.float64()),
-            "n_chars": pc.filter(t["n_chars"], ok),
+            "rank_ppb": _ppb(pa.chunked_array([rank])),
         })
 
     return docs.map_batches(annotate, batch_format="pyarrow")
+
+
+def doc_authority_sql(corpus: str) -> str:
+    """DuckDB replay of ``q_doc_authority``: extraction ok-ness is
+    class-deterministic in the fixture corpus (classes live on
+    ``doc_id % 100`` ranges; pdf_truncated=80-82 and binary_junk=95-99
+    are the only error classes), and ``doc_id`` is exactly recoverable
+    from ``warc_ts = epoch + 137 s × doc_id`` — which also holds for
+    the duplicate-URL rows whose url string borrows the previous doc's
+    id. Hosts with no edges rank 0 (operator's ``rk.get(h, 0.0)``)."""
+    host = _SQL_HOST.format(expr="url")
+    return f"""
+WITH {_pagerank_ctes(corpus)},
+docs AS (
+  SELECT url, warc_ts, {host} AS host,
+         (CAST(epoch(warc_ts) AS BIGINT) - 1704067200) // 137 % 100 AS r
+  FROM read_parquet('{corpus}/*.parquet')
+),
+okd AS (
+  SELECT url, warc_ts, host FROM docs
+  WHERE NOT (r BETWEEN 80 AND 82) AND NOT (r BETWEEN 95 AND 99)
+)
+SELECT o.url, o.warc_ts, o.host,
+       COALESCE(CAST(floor(p.rank*1e9 + 0.5) AS BIGINT), 0) AS rank_ppb
+FROM okd o LEFT JOIN r{PR_ITERS} p ON p.host = o.host
+"""

@@ -136,6 +136,69 @@ PARA_PARTS = 256
 
 
 def q_paragraph_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """C4-style cross-document paragraph dedup over the corpus's WET
+    text column — the pre-extracted text a Common-Crawl-style input
+    ships alongside the raw HTML, which is exactly what the original
+    C4 pipeline deduplicated. Same operator as
+    :func:`q_paragraph_dedup_extracted` (shared
+    ``paragraph_dedup_dataset``), but the input is SQL-visible, so
+    this entry carries a full DuckDB value-hash oracle
+    (``paragraph_dedup_sql``). Columns: url, warc_ts, clean_text,
+    n_blocks, n_dropped."""
+    from ..sources.pages import read_pages as _rp
+
+    corpus = pages_corpus_for(sf_dir)
+    pages = _rp(corpus, columns=["url", "warc_ts", "text"])
+
+    def as_extracted(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["url"].cast(pa.string()),
+            "warc_ts": t["warc_ts"].cast(pa.timestamp("us")),
+            "status": pa.array(["ok"] * t.num_rows, type=pa.string()),
+            "extracted_text": t["text"].cast(pa.string()),
+        })
+
+    return paragraph_dedup_dataset(
+        pages.map_batches(as_extracted, batch_format="pyarrow"))
+
+
+def paragraph_dedup_sql(corpus: str) -> str:
+    """DuckDB replay of :func:`q_paragraph_dedup` over the corpus
+    parquet: explode text into \\n\\n blocks with ordinals, keep the
+    (url, warc_ts, idx)-min row per distinct block value (md5 equality
+    == string equality absent collisions), re-aggregate in block
+    order. Docs whose every block loses vanish (C4 semantics)."""
+    nl2 = "chr(10)||chr(10)"
+    return f"""
+WITH docs AS (
+  SELECT url, warc_ts, string_split(text, {nl2}) AS blks
+  FROM read_parquet('{corpus}/*.parquet')
+  WHERE text IS NOT NULL AND text <> ''
+),
+blocks AS (
+  SELECT url, warc_ts,
+         unnest(blks) AS blk,
+         generate_subscripts(blks, 1) - 1 AS idx,
+         len(blks) AS tot
+  FROM docs
+),
+kept AS (
+  SELECT * FROM (
+    SELECT url, warc_ts, blk, idx, tot,
+           row_number() OVER (PARTITION BY blk
+                              ORDER BY url, warc_ts, idx) AS rn
+    FROM blocks
+  ) WHERE rn = 1
+)
+SELECT url, warc_ts,
+       string_agg(blk, {nl2} ORDER BY idx) AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(any_value(tot) - count(*) AS BIGINT) AS n_dropped
+FROM kept GROUP BY url, warc_ts
+"""
+
+
+def q_paragraph_dedup_extracted(sf_dir: str) -> "ray.data.Dataset":
     """C4-style cross-document PARAGRAPH dedup over the extracted
     corpus: every block (extracted_text is blocks joined by "\\n\\n")
     is fingerprinted; corpus-wide duplicate blocks keep only the FIRST
@@ -144,42 +207,77 @@ def q_paragraph_dedup(sf_dir: str) -> "ray.data.Dataset":
     boilerplate the per-page classifier can't see). Docs are then
     reassembled in original block order.
 
-    Shape: two full-corpus exchanges, both inherent to the semantics
-    (copies must co-locate to be resolved; blocks must return to their
-    doc to reassemble) — the C4 pipeline's own cost model. Block text
-    rides a coarse hash(fp) partition (PARA_PARTS-way), winner
-    selection is pandas-vectorized per partition (one UDF call per
-    partition, not per block), and the reassembly groupby moves only
-    kept blocks.
+    Shape (round 4): block TEXT crosses exactly ONE exchange. The
+    winner-resolution shuffle (co-locate copies by fp) carries only
+    slim (part, fp, url, warc_ts, idx) rows; it emits the DROP list —
+    the losing (url, warc_ts, idx) keys, a minority at corpus scale —
+    which returns to co-partition with a re-exploded text stream on a
+    doc-hash key, where a vectorized anti-join + reassembly runs per
+    partition. The extracted ok-text is pinned once in the (spillable)
+    object store so both passes read the same rows without re-running
+    extraction — the single-cluster equivalent of running this over
+    the extraction job's checkpointed output parquet.
     Columns: url, warc_ts, clean_text, n_blocks, n_dropped.
     Doc identity is (url, warc_ts): the corpus carries duplicate urls
     with distinct capture timestamps by design.
-    (No SQL oracle: extraction-derived; exactness pinned by a
-    single-process recount pytest.)"""
+    (No SQL oracle for THIS entry: extraction is not SQL-replayable;
+    exactness is pinned by the recount-parity pytest, and the shared
+    ``paragraph_dedup_dataset`` operator is value-hash-checked through
+    the WET-input ``q_paragraph_dedup`` entry.)"""
     corpus = pages_corpus_for(sf_dir)
     extracted = extract_dataset(read_pages(corpus))
     return paragraph_dedup_dataset(extracted)
 
 
+_PD_EMPTY_DROPS = pa.table({
+    "url": pa.array([], type=pa.string()),
+    "warc_ts": pa.array([], type=pa.timestamp("us")),
+    "idx": pa.array([], type=pa.int64()),
+})
+
+_PD_EMPTY_OUT = pa.table({
+    "url": pa.array([], type=pa.string()),
+    "warc_ts": pa.array([], type=pa.timestamp("us")),
+    "clean_text": pa.array([], type=pa.string()),
+    "n_blocks": pa.array([], type=pa.int64()),
+    "n_dropped": pa.array([], type=pa.int64()),
+})
+
+
+def _doc_part(urls: list) -> np.ndarray:
+    """Doc-key partition id — the SAME function on both union legs so
+    a doc's blocks and its drop keys land in the same group."""
+    h = pd.util.hash_array(np.asarray(urls, dtype=object))
+    return (h % PARA_PARTS).astype(np.int32)
+
+
 def paragraph_dedup_dataset(extracted: "ray.data.Dataset") -> "ray.data.Dataset":
-    def explode(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["status"], "ok"))
-        urls, tss, idxs, parts, fps, texts, tots = [], [], [], [], [], [], []
+    def ok_slim(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.equal(t["status"], "ok"),
+                             pc.not_equal(t["extracted_text"], "")))
+        return pa.table({
+            "url": t["url"].cast(pa.string()),
+            "warc_ts": t["warc_ts"].cast(pa.timestamp("us")),
+            "extracted_text": t["extracted_text"].cast(pa.string()),
+        })
+
+    # the ONE full-corpus pin: both passes below branch from these
+    # blocks instead of re-running extraction (object store, spillable)
+    ok = extracted.map_batches(ok_slim, batch_format="pyarrow").materialize()
+
+    # ---- pass A (slim): fingerprints only through the fp exchange
+    def explode_keys(t: pa.Table) -> pa.Table:
+        parts, fps, urls, tss, idxs = [], [], [], [], []
         for url, ts, txt in zip(t["url"].to_pylist(),
                                 t["warc_ts"].to_pylist(),
                                 t["extracted_text"].to_pylist()):
-            if not txt:
-                continue
-            blocks = txt.split("\n\n")
-            for i, blk in enumerate(blocks):
+            for i, blk in enumerate(txt.split("\n\n")):
                 fp = hashlib.md5(blk.encode("utf-8")).hexdigest()
+                parts.append(int(fp[:4], 16) % PARA_PARTS)
+                fps.append(fp)
                 urls.append(url)
                 tss.append(ts)
                 idxs.append(i)
-                fps.append(fp)
-                parts.append(int(fp[:4], 16) % PARA_PARTS)
-                texts.append(blk)
-                tots.append(len(blocks))
         return pa.table({
             "part": pa.array(parts, type=pa.int32()),
             "fp": pa.array(fps, type=pa.string()),
@@ -188,41 +286,86 @@ def paragraph_dedup_dataset(extracted: "ray.data.Dataset") -> "ray.data.Dataset"
             "url": pa.array(urls, type=pa.string()),
             "warc_ts": pa.array(tss, type=pa.timestamp("us")),
             "idx": pa.array(idxs, type=pa.int64()),
-            # per-doc block total rides every row so the reassembly can
-            # report true drop counts even when trailing blocks drop
-            "tot": pa.array(tots, type=pa.int64()),
-            "block": pa.array(texts, type=pa.string()),
         })
 
-    def resolve(g: pd.DataFrame) -> pa.Table:
-        # keep = the (url, idx)-min row per fp, vectorized: sort then
-        # first-of-group (deterministic total order)
+    def losers(g: pd.DataFrame) -> pa.Table:
+        # winner = the (url, warc_ts, idx)-min row per fp; emit ONLY
+        # the losing keys (the minority), vectorized: sort then
+        # duplicated-after-first (deterministic total order)
+        if g.empty:
+            return _PD_EMPTY_DROPS
         g = g.sort_values(["fp", "url", "warc_ts", "idx"], kind="mergesort")
-        out = g[~g.duplicated("fp", keep="first")]
+        out = g[g.duplicated("fp", keep="first")]
+        if out.empty:
+            return _PD_EMPTY_DROPS
         return pa.table({
             "url": pa.array(out["url"].tolist(), type=pa.string()),
             "warc_ts": pa.Array.from_pandas(out["warc_ts"],
                                             type=pa.timestamp("us")),
             "idx": pa.array(out["idx"].to_numpy(), type=pa.int64()),
-            "tot": pa.array(out["tot"].to_numpy(), type=pa.int64()),
-            "block": pa.array(out["block"].tolist(), type=pa.string()),
         })
 
-    def add_doc_part(t: pa.Table) -> pa.Table:
-        # coarse-partition the reassembly: per-DOC map_groups pays one
-        # Ray UDF call per document (measured ~6 s of pure call
-        # overhead at 4.4k docs); hashing docs into PARA_PARTS groups
-        # and doing the per-doc fold with a local pandas groupby keeps
-        # the same exchange and drops the overhead
-        h = pd.util.hash_array(np.asarray(t["url"].to_pylist(),
-                                          dtype=object))
-        return t.append_column(
-            "dpart", pa.array((h % PARA_PARTS).astype(np.int32),
-                              type=pa.int32()))
+    drops = (ok.map_batches(explode_keys, batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(losers, batch_format="pandas"))
+
+    # ---- pass B: text + drop tags co-partitioned on the doc hash —
+    # the single exchange the block text crosses
+    def explode_blocks(t: pa.Table) -> pa.Table:
+        urls, tss, idxs, tots, texts = [], [], [], [], []
+        for url, ts, txt in zip(t["url"].to_pylist(),
+                                t["warc_ts"].to_pylist(),
+                                t["extracted_text"].to_pylist()):
+            blocks = txt.split("\n\n")
+            for i, blk in enumerate(blocks):
+                urls.append(url)
+                tss.append(ts)
+                idxs.append(i)
+                # per-doc block total rides every row so the reassembly
+                # reports true drop counts even when trailing blocks drop
+                tots.append(len(blocks))
+                texts.append(blk)
+        return pa.table({
+            "dpart": pa.array(_doc_part(urls), type=pa.int32()),
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(tss, type=pa.timestamp("us")),
+            "idx": pa.array(idxs, type=pa.int64()),
+            "tot": pa.array(tots, type=pa.int64()),
+            "block": pa.array(texts, type=pa.string()),
+            "drop": pa.array([0] * len(urls), type=pa.int8()),
+        })
+
+    def tag_drops(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        urls = t["url"].to_pylist()
+        return pa.table({
+            "dpart": pa.array(_doc_part(urls) if n else
+                              np.array([], dtype=np.int32), type=pa.int32()),
+            "url": t["url"].cast(pa.string()),
+            "warc_ts": t["warc_ts"].cast(pa.timestamp("us")),
+            "idx": t["idx"].cast(pa.int64()),
+            "tot": pa.array([0] * n, type=pa.int64()),
+            "block": pa.array([""] * n, type=pa.string()),
+            "drop": pa.array([1] * n, type=pa.int8()),
+        })
+
+    merged = ok.map_batches(explode_blocks, batch_format="pyarrow").union(
+        drops.map_batches(tag_drops, batch_format="pyarrow"))
 
     def rebuild_part(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["url", "warc_ts", "idx"])
-        agg = g.groupby(["url", "warc_ts"], sort=False).agg(
+        if g.empty:
+            return _PD_EMPTY_OUT
+        d = g[g["drop"] == 1]
+        t = g[g["drop"] == 0]
+        if len(d):
+            t = t.merge(d[["url", "warc_ts", "idx"]].drop_duplicates(),
+                        on=["url", "warc_ts", "idx"], how="left",
+                        indicator=True)
+            t = t[t["_merge"] == "left_only"]
+        if t.empty:
+            return _PD_EMPTY_OUT
+        t = t.sort_values(["url", "warc_ts", "idx"])
+        agg = t.groupby(["url", "warc_ts"], sort=False).agg(
             clean_text=("block", "\n\n".join),
             n_blocks=("block", "size"),
             tot=("tot", "first"),
@@ -243,11 +386,5 @@ def paragraph_dedup_dataset(extracted: "ray.data.Dataset") -> "ray.data.Dataset"
 
     # docs whose every block was a duplicate vanish from the output
     # entirely (C4 semantics: nothing left to train on)
-    return (
-        extracted.map_batches(explode, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(resolve, batch_format="pandas")
-        .map_batches(add_doc_part, batch_format="pyarrow")
-        .groupby("dpart")
-        .map_groups(rebuild_part, batch_format="pandas")
-    )
+    return merged.groupby("dpart").map_groups(rebuild_part,
+                                              batch_format="pandas")
