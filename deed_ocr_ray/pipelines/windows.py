@@ -25,6 +25,38 @@ import ray.data
 N_PARTS = 64
 
 
+def _counts_upto(lk: np.ndarray, lp: np.ndarray, rk: np.ndarray,
+                 rts: np.ndarray, inclusive: bool) -> np.ndarray:
+    """For every probe ``(lk[i], lp[i])``: the number of right rows
+    with the same key and ts <= lp[i] (``inclusive``) or < lp[i]
+    (strict) — ONE merged lexsort over both sides, no per-key Python
+    dispatch (the round-3 bodies looped ``for k, sub in
+    left.groupby(...)``; this replaces that with O((m+n)·log) numpy).
+    ``rk``/``rts`` may be in any order; keys are int64, ts
+    datetime64[us] (compared as int64)."""
+    n_r, n_l = rk.size, lk.size
+    keys = np.concatenate([rk, lk])
+    tss = np.concatenate([rts.view(np.int64), lp.view(np.int64)])
+    probe = np.concatenate([np.zeros(n_r, np.int8), np.ones(n_l, np.int8)])
+    # tie order at equal (key, ts): inclusive counts rights at the
+    # probe ts, so rights sort first; strict excludes them
+    tie = probe if inclusive else (1 - probe)
+    order = np.lexsort((tie, tss, keys))
+    is_r = probe[order] == 0
+    k_s = keys[order]
+    cum_r = np.cumsum(is_r)
+    new_key = np.empty(k_s.size, dtype=bool)
+    if k_s.size:
+        new_key[0] = True
+        new_key[1:] = k_s[1:] != k_s[:-1]
+    seg_id = np.cumsum(new_key) - 1
+    base = (cum_r - is_r)[np.flatnonzero(new_key)]  # rights before segment
+    probe_pos = np.flatnonzero(~is_r)
+    counts = np.empty(n_l, dtype=np.int64)
+    counts[order[probe_pos] - n_r] = (cum_r - base[seg_id])[probe_pos]
+    return counts
+
+
 # ---------------------------------------------------------- running total
 
 def q_running_total(sf_dir: str) -> "ray.data.Dataset":
@@ -224,38 +256,32 @@ def q_asof_last_ship(sf_dir: str, probe_days: int = ASOF_PROBE_DAYS) -> "ray.dat
     )
 
     def asof(g: pd.DataFrame) -> pa.Table:
-        left = g[g["side"] == 0]
-        right = g[g["side"] == 1]
-        timelines = {
-            k: np.sort(v["ts"].to_numpy())
-            for k, v in right.groupby("key", sort=False)
-        }
-        okeys, lasts, counts = [], [], []
-        for k, sub in left.groupby("key", sort=False):
-            tl = timelines.get(k)
-            ots = sub["ts"].to_numpy() + delta
-            if tl is None or len(tl) == 0:
-                idx = np.zeros(len(sub), dtype=np.int64)
-                last = np.full(len(sub), np.datetime64("NaT", "us"))
-            else:
-                idx = np.searchsorted(tl, ots, side="right")
-                last = np.where(idx > 0, tl[np.maximum(idx - 1, 0)],
-                                np.datetime64("NaT", "us"))
-            okeys.append(sub["key"].to_numpy())
-            lasts.append(last.astype("datetime64[us]"))
-            counts.append(idx)
-        if not okeys:
+        side = g["side"].to_numpy()
+        lk = g["key"].to_numpy()[side == 0]
+        if lk.size == 0:
             return pa.table({
                 "o_orderkey": pa.array([], type=pa.int64()),
                 "last_ship_ts": pa.array([], type=pa.timestamp("us")),
                 "n_shipped": pa.array([], type=pa.int64()),
             })
+        lp = g["ts"].to_numpy()[side == 0].astype("datetime64[us]") + delta
+        rk = g["key"].to_numpy()[side == 1]
+        rts = g["ts"].to_numpy()[side == 1].astype("datetime64[us]")
+        # fully vectorized: merged-lexsort count of shipments <= probe,
+        # then index the (key, ts)-sorted timeline for the latest one
+        n_le = _counts_upto(lk, lp, rk, rts, inclusive=True)
+        r_order = np.lexsort((rts.view(np.int64), rk))
+        rts_sorted = rts[r_order]
+        seg_lo = np.searchsorted(rk[r_order], lk, side="left")
+        last = np.full(lk.size, np.datetime64("NaT", "us"))
+        has = n_le > 0
+        last[has] = rts_sorted[seg_lo[has] + n_le[has] - 1]
         return pa.table({
-            "o_orderkey": pa.array(np.concatenate(okeys), type=pa.int64()),
+            "o_orderkey": pa.array(lk, type=pa.int64()),
             "last_ship_ts": pa.Array.from_pandas(
-                pd.Series(np.concatenate(lasts)), type=pa.timestamp("us")
+                pd.Series(last), type=pa.timestamp("us")
             ),
-            "n_shipped": pa.array(np.concatenate(counts), type=pa.int64()),
+            "n_shipped": pa.array(n_le, type=pa.int64()),
         })
 
     return both.groupby("part").map_groups(asof, batch_format="pandas")
@@ -563,39 +589,33 @@ def q_range_join_ship(sf_dir: str, days: int = RANGE_DAYS) -> "ray.data.Dataset"
     )
 
     def ranged(g: pd.DataFrame) -> pa.Table:
-        left = g[g["side"] == 0]
-        right = g[g["side"] == 1]
-        timelines = {
-            k: np.sort(v["ts"].to_numpy())
-            for k, v in right.groupby("key", sort=False)
-        }
-        okeys, counts, firsts = [], [], []
-        for k, sub in left.groupby("key", sort=False):
-            tl = timelines.get(k)
-            ots = sub["ts"].to_numpy()
-            if tl is None or len(tl) == 0:
-                cnt = np.zeros(len(sub), dtype=np.int64)
-                first = np.full(len(sub), np.datetime64("NaT", "us"))
-            else:
-                lo = np.searchsorted(tl, ots, side="left")
-                hi = np.searchsorted(tl, ots + delta, side="left")
-                cnt = (hi - lo).astype(np.int64)
-                first = np.where(cnt > 0, tl[np.minimum(lo, len(tl) - 1)],
-                                 np.datetime64("NaT", "us"))
-            okeys.append(sub["key"].to_numpy())
-            counts.append(cnt)
-            firsts.append(first.astype("datetime64[us]"))
-        if not okeys:
+        side = g["side"].to_numpy()
+        lk = g["key"].to_numpy()[side == 0]
+        if lk.size == 0:
             return pa.table({
                 "o_orderkey": pa.array([], type=pa.int64()),
                 "n_ship_window": pa.array([], type=pa.int64()),
                 "first_ship_ts": pa.array([], type=pa.timestamp("us")),
             })
+        lts = g["ts"].to_numpy()[side == 0].astype("datetime64[us]")
+        rk = g["key"].to_numpy()[side == 1]
+        rts = g["ts"].to_numpy()[side == 1].astype("datetime64[us]")
+        # two merged-lexsort strict counts bracket the window; the
+        # first-in-window ts indexes the (key, ts)-sorted timeline
+        lo = _counts_upto(lk, lts, rk, rts, inclusive=False)
+        hi = _counts_upto(lk, lts + delta, rk, rts, inclusive=False)
+        cnt = hi - lo
+        r_order = np.lexsort((rts.view(np.int64), rk))
+        rts_sorted = rts[r_order]
+        seg_lo = np.searchsorted(rk[r_order], lk, side="left")
+        first = np.full(lk.size, np.datetime64("NaT", "us"))
+        has = cnt > 0
+        first[has] = rts_sorted[seg_lo[has] + lo[has]]
         return pa.table({
-            "o_orderkey": pa.array(np.concatenate(okeys), type=pa.int64()),
-            "n_ship_window": pa.array(np.concatenate(counts), type=pa.int64()),
+            "o_orderkey": pa.array(lk, type=pa.int64()),
+            "n_ship_window": pa.array(cnt, type=pa.int64()),
             "first_ship_ts": pa.Array.from_pandas(
-                pd.Series(np.concatenate(firsts)), type=pa.timestamp("us")
+                pd.Series(first), type=pa.timestamp("us")
             ),
         })
 
