@@ -66,7 +66,14 @@ BENCH_QUERIES = [
     "interleave_sources",
     "host_graph",
     "pagerank",
-    "paragraph_dedup",
+    # the extraction-input variant: the expensive one the round-3
+    # bench tracked ("paragraph_dedup" itself is now the cheap
+    # WET-text oracle entry)
+    "paragraph_dedup_extracted",
+    "mktsegment_orders",
+    "top_parts_per_nation",
+    "range_join_ship",
+    "doc_authority",
 ]
 
 

@@ -229,6 +229,15 @@ def q_paragraph_dedup_extracted(sf_dir: str) -> "ray.data.Dataset":
     return paragraph_dedup_dataset(extracted)
 
 
+def _para_shuffle_parts(n_docs: int) -> int:
+    """Hash-shuffle aggregator count for the paragraph-dedup
+    exchanges, sized by input (each partition is one aggregator ACTOR
+    plus one rebuild call: a fixed 64 on a tiny input pays seconds of
+    actor startup and can starve a low-CPU host into the single-plan
+    multi-shuffle deadlock — NOTES.md landmine; at cluster scale this
+    grows with the corpus)."""
+    return max(1, min(64, n_docs // 8192 + 1))
+
 _PD_EMPTY_DROPS = pa.table({
     "url": pa.array([], type=pa.string()),
     "warc_ts": pa.array([], type=pa.timestamp("us")),
@@ -244,13 +253,6 @@ _PD_EMPTY_OUT = pa.table({
 })
 
 
-def _doc_part(urls: list) -> np.ndarray:
-    """Doc-key partition id — the SAME function on both union legs so
-    a doc's blocks and its drop keys land in the same group."""
-    h = pd.util.hash_array(np.asarray(urls, dtype=object))
-    return (h % PARA_PARTS).astype(np.int32)
-
-
 def paragraph_dedup_dataset(extracted: "ray.data.Dataset") -> "ray.data.Dataset":
     def ok_slim(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.equal(t["status"], "ok"),
@@ -264,22 +266,25 @@ def paragraph_dedup_dataset(extracted: "ray.data.Dataset") -> "ray.data.Dataset"
     # the ONE full-corpus pin: both passes below branch from these
     # blocks instead of re-running extraction (object store, spillable)
     ok = extracted.map_batches(ok_slim, batch_format="pyarrow").materialize()
+    # key-based repartition needs the hash-shuffle strategy; Dataset
+    # contexts are per-lineage copies of the global DataContext, so
+    # this scopes to THIS operator's plan only
+    from ray.data.context import ShuffleStrategy
+    ok.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    n_parts = _para_shuffle_parts(ok.count())
 
     # ---- pass A (slim): fingerprints only through the fp exchange
     def explode_keys(t: pa.Table) -> pa.Table:
-        parts, fps, urls, tss, idxs = [], [], [], [], []
+        fps, urls, tss, idxs = [], [], [], []
         for url, ts, txt in zip(t["url"].to_pylist(),
                                 t["warc_ts"].to_pylist(),
                                 t["extracted_text"].to_pylist()):
             for i, blk in enumerate(txt.split("\n\n")):
-                fp = hashlib.md5(blk.encode("utf-8")).hexdigest()
-                parts.append(int(fp[:4], 16) % PARA_PARTS)
-                fps.append(fp)
+                fps.append(hashlib.md5(blk.encode("utf-8")).hexdigest())
                 urls.append(url)
                 tss.append(ts)
                 idxs.append(i)
         return pa.table({
-            "part": pa.array(parts, type=pa.int32()),
             "fp": pa.array(fps, type=pa.string()),
             # (url, warc_ts) is the doc key: the corpus has duplicate
             # urls (differing warc_ts) by design
@@ -291,7 +296,8 @@ def paragraph_dedup_dataset(extracted: "ray.data.Dataset") -> "ray.data.Dataset"
     def losers(g: pd.DataFrame) -> pa.Table:
         # winner = the (url, warc_ts, idx)-min row per fp; emit ONLY
         # the losing keys (the minority), vectorized: sort then
-        # duplicated-after-first (deterministic total order)
+        # duplicated-after-first (deterministic total order). Handles
+        # MANY fps per call: one call per hash partition, not per key.
         if g.empty:
             return _PD_EMPTY_DROPS
         g = g.sort_values(["fp", "url", "warc_ts", "idx"], kind="mergesort")
@@ -305,11 +311,22 @@ def paragraph_dedup_dataset(extracted: "ray.data.Dataset") -> "ray.data.Dataset"
             "idx": pa.array(out["idx"].to_numpy(), type=pa.int64()),
         })
 
+    # hash-repartition on fp co-locates copies directly (no derived
+    # coarse-key column, no global sort) and the whole-partition
+    # map_batches returns TYPED empty tables on empty partitions —
+    # unlike groupby().map_groups, whose empty-block path yields a
+    # schemaless bundle (the "RefBundle with a different schema"
+    # warning in earlier rounds)
+    # the drop list is slim (losing keys only): materializing it is a
+    # bounded barrier that keeps the two hash exchanges in SEPARATE
+    # plans (two shuffles' aggregator pools in one streaming plan
+    # deadlock at low CPU counts — NOTES.md landmine)
     drops = (ok.map_batches(explode_keys, batch_format="pyarrow")
-             .groupby("part")
-             .map_groups(losers, batch_format="pandas"))
+             .repartition(n_parts, keys=["fp"], sort=True)
+             .map_batches(losers, batch_format="pandas", batch_size=None)
+             .materialize())
 
-    # ---- pass B: text + drop tags co-partitioned on the doc hash —
+    # ---- pass B: text + drop tags co-partitioned on the doc key —
     # the single exchange the block text crosses
     def explode_blocks(t: pa.Table) -> pa.Table:
         urls, tss, idxs, tots, texts = [], [], [], [], []
@@ -326,7 +343,6 @@ def paragraph_dedup_dataset(extracted: "ray.data.Dataset") -> "ray.data.Dataset"
                 tots.append(len(blocks))
                 texts.append(blk)
         return pa.table({
-            "dpart": pa.array(_doc_part(urls), type=pa.int32()),
             "url": pa.array(urls, type=pa.string()),
             "warc_ts": pa.array(tss, type=pa.timestamp("us")),
             "idx": pa.array(idxs, type=pa.int64()),
@@ -337,10 +353,7 @@ def paragraph_dedup_dataset(extracted: "ray.data.Dataset") -> "ray.data.Dataset"
 
     def tag_drops(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        urls = t["url"].to_pylist()
         return pa.table({
-            "dpart": pa.array(_doc_part(urls) if n else
-                              np.array([], dtype=np.int32), type=pa.int32()),
             "url": t["url"].cast(pa.string()),
             "warc_ts": t["warc_ts"].cast(pa.timestamp("us")),
             "idx": t["idx"].cast(pa.int64()),
@@ -385,6 +398,9 @@ def paragraph_dedup_dataset(extracted: "ray.data.Dataset") -> "ray.data.Dataset"
         })
 
     # docs whose every block was a duplicate vanish from the output
-    # entirely (C4 semantics: nothing left to train on)
-    return merged.groupby("dpart").map_groups(rebuild_part,
-                                              batch_format="pandas")
+    # entirely (C4 semantics: nothing left to train on). Hash
+    # repartition on the doc key co-locates a doc's blocks with its
+    # drop keys; one vectorized rebuild call per partition.
+    return (merged.repartition(n_parts, keys=["url", "warc_ts"], sort=True)
+            .map_batches(rebuild_part, batch_format="pandas",
+                         batch_size=None))
