@@ -23,8 +23,11 @@ _PORT_HTTPS = re.compile(r":443$")
 _UTM = re.compile(r"[?&]utm_[a-z_]+=[^&#]*")
 _DANGLING_AMP = re.compile(r"^([^?&]*)&")
 _Q_AMP = re.compile(r"\?&")
-_TRAIL_Q = re.compile(r"\?+$")
-_TRAIL_SLASH = re.compile(r"(.)/$")
+# Trailing '?'/'/' strip runs to FIXPOINT as one regex (alternating
+# single-step strips were not idempotent: 'http://?/' -> 'http://?'
+# -> 'http://', caught by the hypothesis projection test); a tail that
+# was nothing but the run keeps its root slash.
+_TRAIL_RUN = re.compile(r"[?/]+$")
 
 
 def canonicalize_url(url: str) -> str:
@@ -41,6 +44,7 @@ def canonicalize_url(url: str) -> str:
     tail = _UTM.sub("", tail)
     tail = _Q_AMP.sub("?", tail, count=1)
     tail = _DANGLING_AMP.sub(r"\1?", tail, count=1)
-    tail = _TRAIL_Q.sub("", tail)
-    tail = _TRAIL_SLASH.sub(r"\1", tail)
-    return scheme + host + tail
+    stripped = _TRAIL_RUN.sub("", tail)
+    if stripped == "" and tail.startswith("/"):
+        stripped = "/"  # lone root slash survives (distinct from no-path)
+    return scheme + host + stripped

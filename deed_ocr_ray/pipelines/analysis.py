@@ -355,16 +355,16 @@ SELECT event_id, user_id, CAST(e - prev_e AS BIGINT) AS gap_us FROM (
 def _fine_region_nation_revenue(sf_dir: str) -> "ray.data.Dataset":
     """Shared finest-grain aggregate for the multi-grain revenue ops:
     the ``q_nation_revenue`` shape — per-custkey order totals joined
-    distributed against the sf-SCALED customer table (never a driver
-    dict), with the fixed 25/5-row nation/region dims folded in as a
-    closure lookup. One row per (region, nation) composite key ``rn``
-    with integer cents + count.
+    against the sf-SCALED customer table via the size-dispatched
+    ``attach_dim`` (broadcast under the cutoff, distributed hash join
+    above it), with the fixed 25/5-row nation/region dims folded into
+    the dim transform. One row per (region, nation) composite key
+    ``rn`` with integer cents + count.
     """
 
     import pyarrow.parquet as pq
 
-    from .dedup import _coalesce_for_join, _join_parts_for
-    from .relational import _per_custkey_order_totals
+    from .relational import DimSpec, _orders_slim, _parquet_rows, attach_dim
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name", "n_regionkey"])
@@ -381,34 +381,27 @@ def _fine_region_nation_revenue(sf_dir: str) -> "ray.data.Dataset":
                               nation.column("n_regionkey").to_pylist())
     }
 
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                                 columns=["c_custkey", "c_nationkey"])
-    agg, n_agg = _coalesce_for_join(_per_custkey_order_totals(sf_dir))
-    if n_agg == 0:
-        return ray.data.from_arrow(pa.table({
-            "rn": pa.array([], type=pa.string()),
-            "cents": pa.array([], type=pa.int64()),
-            "n_orders": pa.array([], type=pa.int64()),
-        }))
-    joined = agg.join(cust, join_type="inner",
-                      num_partitions=_join_parts_for(n_agg),
-                      on=("o_custkey",), right_on=("c_custkey",))
-
-    def rn_partial(t: pa.Table) -> pa.Table:
+    def cust_rn(t: pa.Table) -> pa.Table:
         rn = [nk_to_rn.get(nk, "UNKNOWN\x1fUNKNOWN")
               for nk in t["c_nationkey"].to_pylist()]
-        t2 = pa.table({
-            "rn": pa.array(rn, type=pa.string()),
-            "cents": t["cents"],
-            "n_cust_orders": t["n_cust_orders"],
-        })
-        return t2.group_by("rn").aggregate(
-            [("cents", "sum"), ("n_cust_orders", "sum")])
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "rn": pa.array(rn, type=pa.string())})
+
+    joined = attach_dim(
+        _orders_slim(sf_dir), "o_custkey",
+        DimSpec(f"{sf_dir}/customer.parquet",
+                ["c_custkey", "c_nationkey"], "c_custkey", cust_rn),
+        fact_rows=_parquet_rows(f"{sf_dir}/orders.parquet"))
+
+    def rn_partial(t: pa.Table) -> pa.Table:
+        return (t.select(["rn", "price_c"])
+                .group_by("rn")
+                .aggregate([("price_c", "sum"), ("price_c", "count")]))
 
     return (joined.map_batches(rn_partial, batch_format="pyarrow")
             .groupby("rn")
-            .aggregate(Sum("cents_sum", alias_name="cents"),
-                       Sum("n_cust_orders_sum", alias_name="n_orders")))
+            .aggregate(Sum("price_c_sum", alias_name="cents"),
+                       Sum("price_c_count", alias_name="n_orders")))
 
 
 def _grain_expand(fine: "ray.data.Dataset", grains) -> "ray.data.Dataset":

@@ -178,61 +178,129 @@ LIMIT 10
 """
 
 
-def _per_custkey_order_totals(sf_dir: str) -> "ray.data.Dataset":
-    """Orders pre-aggregated to ONE slim row per purchasing customer
-    (o_custkey, cents, n_cust_orders) — per-batch partial combine, then
-    a groupby over partials, so the shuffle carries one row per
-    (custkey, batch), never one per order."""
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                               columns=["o_custkey", "o_totalprice"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        t2 = pa.table({"o_custkey": t["o_custkey"],
-                       "price_c": _cents(t["o_totalprice"])})
-        return t2.group_by("o_custkey").aggregate(
-            [("price_c", "sum"), ("price_c", "count")])
-
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("o_custkey")
-            .aggregate(Sum("price_c_sum", alias_name="cents"),
-                       Sum("price_c_count", alias_name="n_cust_orders")))
+# Broadcast-vs-shuffle-join cutoff (dim table rows). Under it, the dim
+# is read once driver-side and shipped as a ray.put dict — a few
+# hundred MB at most, the classic broadcast-hash-join side. Beyond it,
+# the dim cannot be assumed to fit a worker heap and the engine uses a
+# distributed hash join instead (the Spark-AQE-style plan choice).
+# TPC-H at sf1000 has ~150M customers — the cutoff keeps the broadcast
+# dict well under a worker's memory budget.
+BROADCAST_ROWS_CUTOFF = 2_000_000
 
 
-def q_mktsegment_orders(sf_dir: str) -> "ray.data.Dataset":
-    """Distributed hash join orders ⋈ customer, grouped by market
-    segment. Customer SCALES WITH SF, so it is NOT broadcast (a
-    driver-side dict of a 100-TB run's customer table fits nowhere):
-    orders are pre-aggregated to one slim row per purchasing customer,
-    then ``Dataset.join`` co-partitions both sides. Only the fixed-
-    cardinality dims (nation=25, region=5) stay broadcast elsewhere.
+class DimSpec:
+    """A dimension side for :func:`attach_dim`: parquet path, read
+    columns, join key, and a pa.Table->pa.Table transform producing
+    (key + attached columns). The SAME transform serves both plans —
+    driver-side for the broadcast dict, inside ``map_batches`` for the
+    distributed join — so the two paths cannot drift."""
 
-    Columns: c_mktsegment, n_orders, total_price.
+    def __init__(self, path: str, columns, key: str, transform=None):
+        self.path = path
+        self.columns = list(columns)
+        self.key = key
+        self.transform = transform or (lambda t: t)
+
+
+def attach_dim(
+    fact: "ray.data.Dataset",
+    fact_key: str,
+    spec: DimSpec,
+    cutoff: int = BROADCAST_ROWS_CUTOFF,
+    fact_rows: int = 0,
+    coalesce: bool = False,
+) -> "ray.data.Dataset":
+    """Inner-join ``fact`` against a dimension table, choosing the plan
+    by dimension size (parquet footer row count):
+
+    * ``n_dim <= cutoff``: broadcast hash join — dict ``ray.put`` once,
+      deserialized once per worker (``broadcast.cached_get``), rows
+      with no match dropped (inner semantics). No shuffle.
+    * ``n_dim > cutoff``: distributed ``Dataset.join``, partitions
+      sized by the larger side. ``coalesce=True`` guards fact inputs
+      that passed through a groupby/filter (empty-first-block join
+      landmine, see dedup._coalesce_for_join).
     """
+    from .broadcast import cached_get
     from .dedup import _coalesce_for_join, _join_parts_for
 
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                                 columns=["c_custkey", "c_mktsegment"])
-    # barrier doubles as the empty-first-block join guard (dedup notes)
-    agg, n_agg = _coalesce_for_join(_per_custkey_order_totals(sf_dir))
-    if n_agg == 0:
-        return ray.data.from_arrow(pa.table({
-            "c_mktsegment": pa.array([], type=pa.string()),
-            "n_orders": pa.array([], type=pa.int64()),
-            "total_price": pa.array([], type=pa.float64()),
-        }))
-    joined = agg.join(cust, join_type="inner",
-                      num_partitions=_join_parts_for(n_agg),
-                      on=("o_custkey",), right_on=("c_custkey",))
+    n_dim = _parquet_rows(spec.path)
+    if n_dim <= cutoff:
+        import pyarrow.parquet as pq
+        import ray as _ray
+
+        tbl = spec.transform(pq.read_table(spec.path, columns=spec.columns))
+        out_cols = [c for c in tbl.column_names if c != spec.key]
+        out_types = {c: tbl.schema.field(c).type for c in out_cols}
+        # pandas hash index: get_indexer gives vectorized (C-level)
+        # key->row lookups per batch — a per-row dict.get loop measured
+        # ~40% slower on the 600k-row lineitem facts
+        pdf = tbl.to_pandas().set_index(spec.key)
+        ref = _ray.put(pdf)
+
+        def add(t: pa.Table) -> pa.Table:
+            d = cached_get(ref)
+            idx = d.index.get_indexer(
+                t[fact_key].to_numpy(zero_copy_only=False))
+            ok = idx >= 0
+            if not ok.all():  # inner-join semantics: drop the misses
+                t = t.filter(pa.array(ok))
+                idx = idx[ok]
+            for c in out_cols:
+                t = t.append_column(
+                    c, pa.array(d[c].to_numpy()[idx], type=out_types[c]))
+            return t
+
+        return fact.map_batches(add, batch_format="pyarrow")
+
+    dim = ray.data.read_parquet(spec.path, columns=spec.columns).map_batches(
+        spec.transform, batch_format="pyarrow")
+    if coalesce:
+        fact, n_fact = _coalesce_for_join(fact)
+        fact_rows = max(fact_rows, n_fact)
+    return fact.join(dim, join_type="inner",
+                     num_partitions=_join_parts_for(max(n_dim, fact_rows)),
+                     on=(fact_key,), right_on=(spec.key,))
+
+
+def _orders_slim(sf_dir: str) -> "ray.data.Dataset":
+    """(o_custkey, price_c) projection of orders — the fact side the
+    customer-dim queries attach to. No pre-aggregation: the broadcast
+    path needs no exchange at all, and the join path moves the slim
+    fact through ONE exchange (a per-custkey groupby first would add a
+    second full exchange for at best a ~10x row shrink)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+    return ds.map_batches(
+        lambda t: pa.table({"o_custkey": t["o_custkey"],
+                            "price_c": _cents(t["o_totalprice"])}),
+        batch_format="pyarrow")
+
+
+def q_mktsegment_orders(
+    sf_dir: str, cutoff: int = BROADCAST_ROWS_CUTOFF,
+) -> "ray.data.Dataset":
+    """Orders ⋈ customer grouped by market segment. Customer SCALES
+    WITH SF, so the plan is size-dispatched (``attach_dim``): broadcast
+    hash join while the dim fits a worker heap, distributed
+    ``Dataset.join`` of the per-custkey order totals beyond the
+    cutoff. Columns: c_mktsegment, n_orders, total_price.
+    """
+    joined = attach_dim(
+        _orders_slim(sf_dir), "o_custkey",
+        DimSpec(f"{sf_dir}/customer.parquet",
+                ["c_custkey", "c_mktsegment"], "c_custkey"),
+        cutoff=cutoff, fact_rows=_parquet_rows(f"{sf_dir}/orders.parquet"))
 
     def seg_partial(t: pa.Table) -> pa.Table:
-        return (t.select(["c_mktsegment", "cents", "n_cust_orders"])
+        return (t.select(["c_mktsegment", "price_c"])
                 .group_by("c_mktsegment")
-                .aggregate([("cents", "sum"), ("n_cust_orders", "sum")]))
+                .aggregate([("price_c", "sum"), ("price_c", "count")]))
 
     agg2 = (joined.map_batches(seg_partial, batch_format="pyarrow")
             .groupby("c_mktsegment")
-            .aggregate(Sum("cents_sum", alias_name="cents"),
-                       Sum("n_cust_orders_sum", alias_name="n_orders")))
+            .aggregate(Sum("price_c_sum", alias_name="cents"),
+                       Sum("price_c_count", alias_name="n_orders")))
     return agg2.map_batches(
         lambda t: pa.table({
             "c_mktsegment": t["c_mktsegment"],
@@ -252,55 +320,50 @@ GROUP BY 1
 """
 
 
-def q_nation_revenue(sf_dir: str) -> "ray.data.Dataset":
+def _nation_name_map(sf_dir: str) -> Dict[int, str]:
+    """nation is FIXED at 25 rows at every sf — the legit driver-side
+    read, composed into dim transforms as a closure dict."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    return dict(zip(nation.column("n_nationkey").to_pylist(),
+                    nation.column("n_name").to_pylist()))
+
+
+def q_nation_revenue(
+    sf_dir: str, cutoff: int = BROADCAST_ROWS_CUTOFF,
+) -> "ray.data.Dataset":
     """3-way join orders ⋈ customer ⋈ nation, grouped by nation.
-    Customer scales with sf → distributed hash join against the
-    per-custkey order totals; nation is FIXED at 25 rows → broadcast
-    lookup folded into the post-join partial (the size-cutoff split the
-    100-TB plan needs: join the scaling side, broadcast the constant
-    side).
+    Customer scales with sf → size-dispatched ``attach_dim`` against
+    the per-custkey order totals; nation (fixed 25 rows) folds into
+    the customer dim transform as a closure lookup.
 
     Columns: n_name, n_orders, total_price.
     """
-    import pyarrow.parquet as pq
+    nname = _nation_name_map(sf_dir)
 
-    from .dedup import _coalesce_for_join, _join_parts_for
-
-    # nation is constant-25-rows (not sf-scaled): legit driver read
-    nation = pq.read_table(f"{sf_dir}/nation.parquet",
-                           columns=["n_nationkey", "n_name"])
-    nname = dict(zip(nation.column("n_nationkey").to_pylist(),
-                     nation.column("n_name").to_pylist()))
-
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                                 columns=["c_custkey", "c_nationkey"])
-    agg, n_agg = _coalesce_for_join(_per_custkey_order_totals(sf_dir))
-    if n_agg == 0:
-        return ray.data.from_arrow(pa.table({
-            "n_name": pa.array([], type=pa.string()),
-            "n_orders": pa.array([], type=pa.int64()),
-            "total_price": pa.array([], type=pa.float64()),
-        }))
-    joined = agg.join(cust, join_type="inner",
-                      num_partitions=_join_parts_for(n_agg),
-                      on=("o_custkey",), right_on=("c_custkey",))
-
-    def nation_partial(t: pa.Table) -> pa.Table:
-        # 25-entry closure dict: shipped once per task spec, O(1) lookups
+    def cust_nation(t: pa.Table) -> pa.Table:
         names = [nname.get(nk, "UNKNOWN")
                  for nk in t["c_nationkey"].to_pylist()]
-        t2 = pa.table({
-            "n_name": pa.array(names, type=pa.string()),
-            "cents": t["cents"],
-            "n_cust_orders": t["n_cust_orders"],
-        })
-        return t2.group_by("n_name").aggregate(
-            [("cents", "sum"), ("n_cust_orders", "sum")])
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "n_name": pa.array(names, type=pa.string())})
+
+    joined = attach_dim(
+        _orders_slim(sf_dir), "o_custkey",
+        DimSpec(f"{sf_dir}/customer.parquet",
+                ["c_custkey", "c_nationkey"], "c_custkey", cust_nation),
+        cutoff=cutoff, fact_rows=_parquet_rows(f"{sf_dir}/orders.parquet"))
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        return (t.select(["n_name", "price_c"])
+                .group_by("n_name")
+                .aggregate([("price_c", "sum"), ("price_c", "count")]))
 
     agg2 = (joined.map_batches(nation_partial, batch_format="pyarrow")
             .groupby("n_name")
-            .aggregate(Sum("cents_sum", alias_name="cents"),
-                       Sum("n_cust_orders_sum", alias_name="n_orders")))
+            .aggregate(Sum("price_c_sum", alias_name="cents"),
+                       Sum("price_c_count", alias_name="n_orders")))
     return agg2.map_batches(
         lambda t: pa.table({
             "n_name": t["n_name"],
@@ -395,52 +458,31 @@ def _parquet_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
-def q_region_part_revenue(sf_dir: str) -> "ray.data.Dataset":
-    """5-table star join: lineitem ⋈ part (p_type) ⋈ supplier → nation
-    → region (r_name), grouped by (r_name, p_type). Part and supplier
-    SCALE WITH SF → distributed hash joins (the fact table crosses the
-    partkey exchange once, then pre-combined (p_type, suppkey) partials
-    cross the suppkey exchange); nation/region are FIXED 25/5 rows →
-    folded into the supplier side as a closure lookup.
-    Columns: r_name, p_type, n_items, revenue_cents."""
+def _region_of_nation(sf_dir: str) -> Dict[int, str]:
+    """nation→region name map (fixed 25/5 rows at every sf)."""
     import pyarrow.parquet as pq
 
-    from .dedup import _coalesce_for_join, _join_parts_for
-
-    # fixed-cardinality dims (25/5 rows, not sf-scaled): driver read
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_regionkey"])
     region = pq.read_table(f"{sf_dir}/region.parquet",
                            columns=["r_regionkey", "r_name"])
     rname = dict(zip(region.column("r_regionkey").to_pylist(),
                      region.column("r_name").to_pylist()))
-    nregion = {nk: rname.get(rk, "UNKNOWN")
-               for nk, rk in zip(nation.column("n_nationkey").to_pylist(),
-                                 nation.column("n_regionkey").to_pylist())}
+    return {nk: rname.get(rk, "UNKNOWN")
+            for nk, rk in zip(nation.column("n_nationkey").to_pylist(),
+                              nation.column("n_regionkey").to_pylist())}
 
-    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
-                                 columns=["p_partkey", "p_type"])
-    # supplier → (s_suppkey, r_name): the 25-entry nation→region map is
-    # applied distributed, so the supplier dim never lands on the driver
-    supp = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
-                                 columns=["s_suppkey", "s_nationkey"])
 
-    def supp_region(t: pa.Table) -> pa.Table:
-        rn = [nregion.get(nk, "UNKNOWN")
-              for nk in t["s_nationkey"].to_pylist()]
-        return pa.table({"s_suppkey": t["s_suppkey"],
-                         "r_name": pa.array(rn, type=pa.string())})
-
-    supp_r = supp.map_batches(supp_region, batch_format="pyarrow")
-
+def _lineitem_slim(sf_dir: str) -> "ray.data.Dataset":
+    """(l_partkey, l_suppkey, rev-cents) projection of lineitem.
+    revenue cents = floor(ep*(1-disc)*100 + 0.5): same IEEE double
+    expression as the oracles -> bit-identical integers."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
 
     def slim(t: pa.Table) -> pa.Table:
-        # revenue cents = floor(ep*(1-disc)*100 + 0.5): same IEEE
-        # double expression as the oracle -> bit-identical integers
         rev = pc.cast(pc.floor(pc.add(pc.multiply(
             pc.multiply(t["l_extendedprice"],
                         pc.subtract(pa.scalar(1.0), t["l_discount"])),
@@ -448,33 +490,51 @@ def q_region_part_revenue(sf_dir: str) -> "ray.data.Dataset":
         return pa.table({"l_partkey": t["l_partkey"],
                          "l_suppkey": t["l_suppkey"], "rev": rev})
 
+    return ds.map_batches(slim, batch_format="pyarrow")
+
+
+def q_region_part_revenue(
+    sf_dir: str, cutoff: int = BROADCAST_ROWS_CUTOFF,
+) -> "ray.data.Dataset":
+    """5-table star join: lineitem ⋈ part (p_type) ⋈ supplier → nation
+    → region (r_name), grouped by (r_name, p_type). Part and supplier
+    SCALE WITH SF → size-dispatched ``attach_dim`` twice (broadcast
+    under the cutoff; above it the fact crosses the partkey exchange
+    once, then pre-combined (p_type, suppkey) partials cross the
+    suppkey exchange); nation/region are FIXED 25/5 rows → folded into
+    the supplier transform. Columns: r_name, p_type, n_items,
+    revenue_cents."""
+    nregion = _region_of_nation(sf_dir)
+
+    def supp_region(t: pa.Table) -> pa.Table:
+        rn = [nregion.get(nk, "UNKNOWN")
+              for nk in t["s_nationkey"].to_pylist()]
+        return pa.table({"s_suppkey": t["s_suppkey"],
+                         "r_name": pa.array(rn, type=pa.string())})
+
     n_li = _parquet_rows(f"{sf_dir}/lineitem.parquet")
-    j1 = ds.map_batches(slim, batch_format="pyarrow").join(
-        part, join_type="inner", num_partitions=_join_parts_for(n_li),
-        on=("l_partkey",), right_on=("p_partkey",),
-    )
+    j1 = attach_dim(
+        _lineitem_slim(sf_dir), "l_partkey",
+        DimSpec(f"{sf_dir}/part.parquet", ["p_partkey", "p_type"],
+                "p_partkey"),
+        cutoff=cutoff, fact_rows=n_li)
 
     def type_supp_partial(t: pa.Table) -> pa.Table:
-        # combine before the second exchange: |p_type| x |suppliers in
-        # batch| rows cross, not one per lineitem
+        # combine before the supplier side: |p_type| x |suppliers in
+        # batch| rows continue, not one per lineitem
         return (t.select(["p_type", "l_suppkey", "rev"])
                 .group_by(["p_type", "l_suppkey"])
                 .aggregate([("rev", "sum"), ("rev", "count")]))
 
-    # barrier between the two join shuffles (single-plan join+shuffle
+    # coalesce=True only matters on the join path, where it is the
+    # barrier between the two exchanges (single-plan multi-shuffle
     # deadlock landmine) — bounded: <= |p_type| x |supplier| slim rows
-    mid, n_mid = _coalesce_for_join(
-        j1.map_batches(type_supp_partial, batch_format="pyarrow"))
-    if n_mid == 0:
-        return ray.data.from_arrow(pa.table({
-            "r_name": pa.array([], type=pa.string()),
-            "p_type": pa.array([], type=pa.string()),
-            "n_items": pa.array([], type=pa.int64()),
-            "revenue_cents": pa.array([], type=pa.int64()),
-        }))
-    j2 = mid.join(supp_r, join_type="inner",
-                  num_partitions=_join_parts_for(n_mid),
-                  on=("l_suppkey",), right_on=("s_suppkey",))
+    j2 = attach_dim(
+        j1.map_batches(type_supp_partial, batch_format="pyarrow"),
+        "l_suppkey",
+        DimSpec(f"{sf_dir}/supplier.parquet",
+                ["s_suppkey", "s_nationkey"], "s_suppkey", supp_region),
+        cutoff=cutoff, coalesce=True)
 
     def region_partial(t: pa.Table) -> pa.Table:
         return (t.select(["r_name", "p_type", "rev_sum", "rev_count"])
@@ -556,52 +616,32 @@ FROM events GROUP BY 1
 """
 
 
-def q_top_parts_per_nation(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+def q_top_parts_per_nation(
+    sf_dir: str, k: int = 3, cutoff: int = BROADCAST_ROWS_CUTOFF,
+) -> "ray.data.Dataset":
     """Grouped top-k: each supplier nation's top-``k`` parts by revenue.
-    Broadcast nation lookup + pre-aggregated (n_name, partkey) partials
+    Size-dispatched supplier⋈nation lookup + pre-aggregated (n_name, partkey) partials
     shrink the shuffle; the per-nation top-k runs per key (25 nations —
     per-key ``map_groups`` is fine at that cardinality; coarse-partition
     for high-cardinality keys). Deterministic tie-break (revenue desc,
     partkey asc). Columns: n_name, l_partkey, revenue_cents, rk."""
     import pandas as pd
-    import pyarrow.parquet as pq
 
-    from .dedup import _join_parts_for
-
-    # nation is constant-25-rows: driver read is the legit broadcast;
-    # supplier SCALES with sf -> stays distributed, annotated in place
-    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nname = dict(zip(nation.column("n_nationkey").to_pylist(),
-                     nation.column("n_name").to_pylist()))
-
-    supp = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
-                                 columns=["s_suppkey", "s_nationkey"])
+    # nation is constant-25-rows: folded into the supplier transform;
+    # supplier SCALES with sf -> size-dispatched attach_dim
+    nname = _nation_name_map(sf_dir)
 
     def supp_nation(t: pa.Table) -> pa.Table:
         nn = [nname.get(nk, "UNKNOWN") for nk in t["s_nationkey"].to_pylist()]
         return pa.table({"s_suppkey": t["s_suppkey"],
                          "n_name": pa.array(nn, type=pa.string())})
 
-    supp_n = supp.map_batches(supp_nation, batch_format="pyarrow")
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    )
-
-    def slim(t: pa.Table) -> pa.Table:
-        rev = pc.cast(pc.floor(pc.add(pc.multiply(
-            pc.multiply(t["l_extendedprice"],
-                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
-            100.0), 0.5)), pa.int64())
-        return pa.table({"l_partkey": t["l_partkey"],
-                         "l_suppkey": t["l_suppkey"], "rev": rev})
-
     n_li = _parquet_rows(f"{sf_dir}/lineitem.parquet")
-    joined = ds.map_batches(slim, batch_format="pyarrow").join(
-        supp_n, join_type="inner", num_partitions=_join_parts_for(n_li),
-        on=("l_suppkey",), right_on=("s_suppkey",),
-    )
+    joined = attach_dim(
+        _lineitem_slim(sf_dir), "l_suppkey",
+        DimSpec(f"{sf_dir}/supplier.parquet",
+                ["s_suppkey", "s_nationkey"], "s_suppkey", supp_nation),
+        cutoff=cutoff, fact_rows=n_li)
 
     def nation_partial(t: pa.Table) -> pa.Table:
         return (t.select(["n_name", "l_partkey", "rev"])

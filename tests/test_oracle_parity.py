@@ -76,6 +76,10 @@ PARITY = [
     ("host_graph",),
     ("host_degree",),
     ("anchor_terms",),
+    # round-4 oracle upgrades (rows-only -> hash-checked)
+    ("pagerank",),
+    ("doc_authority",),
+    ("paragraph_dedup",),
 ]
 
 
@@ -92,7 +96,26 @@ def test_parity(ray_session, con, name):
     assert canon(got) == canon(want)
 
 
-def test_entry_smoke(ray_session):
+# attach_dim dispatches broadcast-vs-distributed-join on the dim's
+# parquet row count; the sf gate always takes the broadcast path, so
+# force cutoff=0 here to pin the JOIN plan to the same oracle.
+JOIN_PATH = [
+    "mktsegment_orders",
+    "nation_revenue",
+    "region_part_revenue",
+    "top_parts_per_nation",
+]
+
+
+@pytest.mark.parametrize("name", JOIN_PATH)
+def test_attach_dim_join_path_matches_oracle(ray_session, con, name):
+    import __ray_entry__ as ent
+    from deed_ocr_ray.pipelines import relational
+
+    got = getattr(relational, f"q_{name}")(SF, cutoff=0).to_pandas()
+    want = con.execute(ent.oracle_sql()[name]).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns)
+    assert canon(got) == canon(want)
     import __ray_entry__ as ent
 
     ds = ent.entry()
