@@ -176,6 +176,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": linkgraph.q_pagerank_checked,
         "doc_authority": linkgraph.q_doc_authority,
         "paragraph_dedup_extracted": prep.q_paragraph_dedup_extracted,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "order_percent_rank": windows.q_order_percent_rank,
+        "delta_apply": curation.q_delta_apply,
+        "vocab_ids": textops.q_vocab_ids,
         # ------ tier 3: last checked in r1/r2 only
         "quality_score": textops.q_quality_score,
         "fingerprint": textops.q_fingerprint,
@@ -265,6 +269,7 @@ def oracle_sql() -> dict[str, str]:
         "ensemble_extract": ensemble.Q_ENSEMBLE_SQL,
         "running_total": windows.Q_RUNNING_TOTAL_SQL,
         "order_rank": windows.Q_ORDER_RANK_SQL,
+        "order_percent_rank": windows.Q_PERCENT_RANK_SQL,
         "customers_no_orders": windows.Q_NO_ORDERS_SQL,
         "asof_last_ship": windows.Q_ASOF_SQL,
         "range_join_ship": windows.Q_RANGE_JOIN_SQL,
@@ -273,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
         "price_quantiles": windows.Q_PRICE_QUANTILES_SQL,
         "sessionize": windows.Q_SESSIONIZE_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
+        "q3_shipping_priority": relational.Q3_SHIPPING_SQL,
         "q6_revenue_filter": relational.Q6_SQL,
         "topk_orders": relational.Q_TOPK_SQL,
         "mktsegment_orders": relational.Q_MKTSEGMENT_SQL,
@@ -327,6 +333,8 @@ def oracle_sql() -> dict[str, str]:
         "token_budget": curation.Q_TOKEN_BUDGET_SQL,
         "decontaminate": curation.Q_DECONTAMINATE_SQL,
         "snapshot_diff": curation.Q_SNAPSHOT_DIFF_SQL,
+        "delta_apply": curation.Q_DELTA_APPLY_SQL,
+        "vocab_ids": textops.Q_VOCAB_IDS_SQL,
         "grouped_percentiles": analysis.Q_GROUPED_PERCENTILES_SQL,
         "price_deciles": analysis.Q_PRICE_DECILES_SQL,
         "lang_pivot": analysis.Q_LANG_PIVOT_SQL,

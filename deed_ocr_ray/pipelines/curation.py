@@ -824,3 +824,71 @@ SELECT doc_id, change FROM (
   FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
 ) WHERE change <> 'unchanged'
 """
+
+
+# ------------------------------------------------------ delta apply (CDC)
+
+def q_delta_apply(sf_dir: str) -> "ray.data.Dataset":
+    """Incremental-refresh APPLY — the companion to ``q_snapshot_diff``:
+    reconstruct snapshot B by applying the change stream (deletes,
+    edits, inserts — derived with the same deterministic rules) onto
+    corpus A, without re-reading anything beyond one pass. The CDC
+    primitive a 100-TB corpus needs to avoid reprocessing the world on
+    every crawl refresh.
+
+    Scale shape: ONE read emits A rows and delta rows side-tagged from
+    the same batch (text crosses the exchange once); a coarse
+    hash(doc_id) partition co-locates each doc's rows; a vectorized
+    highest-side-wins resolve applies delete > upsert > keep.
+    Columns: doc_id, text.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    n_parts = 64
+
+    def emit(t: pa.Table) -> pa.Table:
+        ids: List[int] = []; texts: List[str] = []; sides: List[int] = []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ids.append(did); texts.append(txt); sides.append(0)  # A row
+            if did % DIFF_DROP_MOD == 0:
+                ids.append(did); texts.append(""); sides.append(2)  # delete
+            elif did % DIFF_EDIT_MOD == 0:
+                ids.append(did); texts.append(txt.upper()); sides.append(1)
+            if did % DIFF_ADD_MOD == 0:
+                ids.append(-did - 1); texts.append(txt + " v2"); sides.append(1)
+        part = (np.abs(np.asarray(ids, dtype=np.int64)) % n_parts).astype(np.int32)
+        return pa.table({
+            "part": pa.array(part, type=pa.int32()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "side": pa.array(sides, type=pa.int8()),
+        })
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        # highest side wins per doc: delete(2) > upsert(1) > A(0)
+        g = g.sort_values(["doc_id", "side"], ascending=[True, False],
+                          kind="mergesort")
+        g = g[~g.duplicated("doc_id", keep="first")]
+        g = g[g["side"] != 2]  # deletes vanish from B
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(), type=pa.int64()),
+            "text": pa.array(g["text"].tolist(), type=pa.string()),
+        })
+
+    return (ds.map_batches(emit, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(resolve, batch_format="pandas"))
+
+
+Q_DELTA_APPLY_SQL = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0 THEN upper(text)
+            ELSE text END AS text
+FROM documents WHERE doc_id % {DIFF_DROP_MOD} <> 0
+UNION ALL
+SELECT -doc_id - 1, text || ' v2'
+FROM documents WHERE doc_id % {DIFF_ADD_MOD} = 0
+"""

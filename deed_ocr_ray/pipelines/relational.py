@@ -258,6 +258,8 @@ def attach_dim(
     if coalesce:
         fact, n_fact = _coalesce_for_join(fact)
         fact_rows = max(fact_rows, n_fact)
+    # NOTE: Ray's join drops the right key column, so both plans emit
+    # fact columns + the dim's out columns — identical schemas
     return fact.join(dim, join_type="inner",
                      num_partitions=_join_parts_for(max(n_dim, fact_rows)),
                      on=(fact_key,), right_on=(spec.key,))
@@ -568,6 +570,121 @@ JOIN nation ON n_nationkey = s_nationkey
 JOIN region ON r_regionkey = n_regionkey
 GROUP BY 1, 2
 """
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-30"
+
+
+def q3_shipping_priority(
+    sf_dir: str, k: int = 10, cutoff: int = BROADCAST_ROWS_CUTOFF,
+) -> "ray.data.Dataset":
+    """TPC-H-Q3 shape: top-``k`` unshipped-revenue orders for one
+    market segment — the FACT ⋈ FACT join (lineitem ⋈ orders, both
+    sf-scaled, both filtered at the read) the rest of the relational
+    family doesn't exercise. The customer semi-join side rides
+    ``attach_dim`` (broadcast under the cutoff, distributed beyond);
+    the orders⋈lineitem join is always a distributed hash join — at
+    100 TB neither side fits anywhere. Revenue stays integer cents.
+    Columns: l_orderkey, o_orderdate, o_orderpriority, revenue_cents.
+    Deterministic order: revenue desc, o_orderdate asc, l_orderkey asc.
+    """
+    import pyarrow.dataset as pads
+
+    from .dedup import _coalesce_for_join, _join_parts_for
+
+    date = np.datetime64(Q3_DATE, "us")
+
+    def building_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], Q3_SEGMENT))
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "seg": pa.array([Q3_SEGMENT] * t.num_rows,
+                                         type=pa.string())})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderdate") < pads.scalar(date),
+    )
+
+    def slim_orders(t: pa.Table) -> pa.Table:
+        # belt-and-suspenders in-batch filter over the scan pushdown
+        return t.filter(pc.less(t["o_orderdate"], pa.scalar(date)))
+
+    # semi-join to the filtered customer dim (attach_dim drops misses)
+    o_seg = attach_dim(
+        orders.map_batches(slim_orders, batch_format="pyarrow"),
+        "o_custkey",
+        DimSpec(f"{sf_dir}/customer.parquet",
+                ["c_custkey", "c_mktsegment"], "c_custkey", building_only),
+        cutoff=cutoff,
+        fact_rows=_parquet_rows(f"{sf_dir}/orders.parquet"),
+    ).drop_columns(["o_custkey", "seg"])
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pads.field("l_shipdate") > pads.scalar(date),
+    )
+
+    def slim_li(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(date)))
+        rev = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            100.0), 0.5)), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    # the fact-fact exchange: both sides passed through filters, so
+    # both get the empty-first-block coalesce guard
+    o_seg, n_o = _coalesce_for_join(o_seg)
+    lis, n_l = _coalesce_for_join(li.map_batches(slim_li, batch_format="pyarrow"))
+    if n_o == 0 or n_l == 0:
+        return ray.data.from_arrow(pa.table({
+            "l_orderkey": pa.array([], type=pa.int64()),
+            "o_orderdate": pa.array([], type=pa.timestamp("us")),
+            "o_orderpriority": pa.array([], type=pa.string()),
+            "revenue_cents": pa.array([], type=pa.int64()),
+        }))
+    joined = lis.join(o_seg, join_type="inner",
+                      num_partitions=_join_parts_for(max(n_o, n_l)),
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        return (t.select(["l_orderkey", "o_orderdate", "o_orderpriority",
+                          "rev"])
+                .group_by(["l_orderkey", "o_orderdate", "o_orderpriority"])
+                .aggregate([("rev", "sum")]))
+
+    agg = (joined.map_batches(order_partial, batch_format="pyarrow")
+           .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+           .aggregate(Sum("rev_sum", alias_name="revenue_cents")))
+    out = agg.map_batches(
+        lambda t: t.select(["l_orderkey", "o_orderdate", "o_orderpriority",
+                            "revenue_cents"]),
+        batch_format="pyarrow")
+    return out.sort(["revenue_cents", "o_orderdate", "l_orderkey"],
+                    descending=[True, False, False]).limit(k)
+
+
+def q3_sql(k: int = 10) -> str:
+    return f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT {int(k)}
+"""
+
+
+Q3_SHIPPING_SQL = q3_sql()
 
 
 def q_daily_active_users(sf_dir: str) -> "ray.data.Dataset":

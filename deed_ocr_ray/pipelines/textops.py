@@ -696,3 +696,95 @@ SELECT sch || host || tail AS canon_url,
        MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_dupes
 FROM s3 GROUP BY 1
 """
+
+
+# ------------------------------------------------ vocab id assignment
+
+def q_vocab_ids(sf_dir: str) -> "ray.data.Dataset":
+    """Global DENSE vocabulary-id assignment: every distinct token gets
+    a consecutive id ordered by (count desc, term asc) — the
+    tokenizer-vocab builder, and the engine's global ordered
+    ENUMERATION primitive (zipWithIndex). Distributed shape: per-batch
+    Counter combiner → slim (term, n) groupby → global sort → two-pass
+    enumeration (per-block row counts land on the driver — one row per
+    BLOCK, bounded — and each block stamps ``offset + arange`` without
+    another exchange; the pack_windows prefix-sum trick).
+    Columns: term, n, vocab_id."""
+    import collections
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # single-space split of trimmed text: identical to the oracle's
+        # string_split(trim(text), ' ') (the remove_dup_ngrams contract)
+        c: collections.Counter = collections.Counter()
+        for x in t["text"].to_pylist():
+            s = x.strip()
+            if s:
+                c.update(s.split(" "))
+        terms = sorted(c)
+        return pa.table({
+            "term": pa.array(terms, type=pa.string()),
+            "n": pa.array([c[w] for w in terms], type=pa.int64()),
+        })
+
+    ordered = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("term")
+               .aggregate(Sum("n", alias_name="n"))
+               .sort(["n", "term"], descending=[True, False])
+               .materialize())  # both passes need identical blocks
+
+    def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first_n": pa.array([], type=pa.int64()),
+                             "first_term": pa.array([], type=pa.string()),
+                             "rows": pa.array([], type=pa.int64())})
+        return pa.table({
+            "first_n": pa.array([t["n"][0].as_py()], type=pa.int64()),
+            "first_term": pa.array([t["term"][0].as_py()], type=pa.string()),
+            "rows": pa.array([t.num_rows], type=pa.int64()),
+        })
+
+    sums = sorted(
+        ((-r["first_n"], r["first_term"]), r["rows"])
+        for r in ordered.map_batches(summarize, batch_size=None,
+                                     batch_format="pyarrow").take_all()
+    )
+    offsets: dict = {}
+    acc = 0
+    for key, rows in sums:
+        offsets[key] = acc
+        acc += rows
+
+    def emit(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             "vocab_id": pa.array([], type=pa.int64())})
+        off = offsets[(-t["n"][0].as_py(), t["term"][0].as_py())]
+        return pa.table({
+            "term": t["term"],
+            "n": t["n"],
+            "vocab_id": pa.array(off + np.arange(t.num_rows),
+                                 type=pa.int64()),
+        })
+
+    return ordered.map_batches(emit, batch_size=None,
+                               batch_format="pyarrow")
+
+
+Q_VOCAB_IDS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS term
+  FROM documents WHERE trim(text) <> ''
+),
+tc AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1)
+SELECT term, n,
+       CAST(row_number() OVER (ORDER BY n DESC, term ASC) - 1 AS BIGINT)
+       AS vocab_id
+FROM tc
+"""

@@ -158,6 +158,62 @@ FROM orders
 """
 
 
+def q_order_percent_rank(sf_dir: str) -> "ray.data.Dataset":
+    """PERCENT_RANK + CUME_DIST within each order-priority class,
+    ordered by (price cents, o_orderkey) — the normalized-rank window
+    primitives (feature scaling / percentile features). The ordering
+    key is unique, so rank == row_number and both stats are exact
+    integer ratios computed identically here and in DuckDB (bitwise-
+    equal doubles). Priority cardinality is 5, so per-key map_groups
+    is fine; the group body is one numpy arange (coarse-partition for
+    high-cardinality keys). Partitioning assumption: one priority
+    class fits a partition. Columns: o_orderkey, o_orderpriority,
+    pct_rank, cume_dist."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def slim(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderpriority": t["o_orderpriority"],
+            "cents": pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                              round_mode="half_towards_infinity"
+                              ).cast(pa.int64()),
+        })
+
+    def body(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["cents", "o_orderkey"], kind="mergesort")
+        n = len(g)
+        rn = np.arange(1, n + 1, dtype=np.float64)
+        pr = (rn - 1.0) / (n - 1.0) if n > 1 else np.zeros(n)
+        return pa.table({
+            "o_orderkey": pa.array(g["o_orderkey"].to_numpy(),
+                                   type=pa.int64()),
+            "o_orderpriority": pa.array(g["o_orderpriority"].tolist(),
+                                        type=pa.string()),
+            "pct_rank": pa.array(pr, type=pa.float64()),
+            "cume_dist": pa.array(rn / n, type=pa.float64()),
+        })
+
+    return (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .map_groups(body, batch_format="pandas"))
+
+
+Q_PERCENT_RANK_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY CAST(round(o_totalprice*100) AS BIGINT), o_orderkey)
+"""
+
+
 # ----------------------------------------------------------- anti join
 
 BIG_ORDER = 400000.0

@@ -522,3 +522,32 @@ def test_lm_score_matches_oracle_on_fixture(ray_session, tmp_path):
     got = q_lm_score(str(tmp_path)).to_pandas()
     want = _oracle(tmp_path, Q_LM_SCORE_SQL, ["documents"])
     assert _hash(got) == _hash(want)
+
+
+def test_vocab_ids_dense_global_enumeration(ray_session, tmp_path):
+    """vocab_ids must assign consecutive ids across MANY sorted blocks
+    (the sf fixture vocab is one block; this forces the two-pass
+    offset path) and match a single-process reference exactly."""
+    import collections
+
+    from deed_ocr_ray.pipelines.textops import q_vocab_ids
+
+    rng = np.random.RandomState(7)
+    texts = []
+    for i in range(400):
+        words = [f"w{rng.randint(0, 3000):04d}" for _ in range(40)]
+        texts.append(" ".join(words))
+    docs = pa.table({
+        "doc_id": pa.array(range(400), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })
+    _write(tmp_path, "documents", docs)
+
+    got = q_vocab_ids(str(tmp_path)).to_pandas().sort_values("vocab_id")
+    c = collections.Counter()
+    for x in texts:
+        c.update(x.split(" "))
+    ref = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert list(got["vocab_id"]) == list(range(len(ref)))
+    assert list(got["term"]) == [t for t, _ in ref]
+    assert list(got["n"]) == [n for _, n in ref]

@@ -80,6 +80,11 @@ PARITY = [
     ("pagerank",),
     ("doc_authority",),
     ("paragraph_dedup",),
+    # round-4 new operators
+    ("q3_shipping_priority",),
+    ("order_percent_rank",),
+    ("delta_apply",),
+    ("vocab_ids",),
 ]
 
 
