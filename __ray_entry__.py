@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_percent_rank": windows.q_order_percent_rank,
         "delta_apply": curation.q_delta_apply,
         "vocab_ids": textops.q_vocab_ids,
+        "knn_lsh": similarity.q_knn_lsh,
         # ------ tier 3: last checked in r1/r2 only
         "quality_score": textops.q_quality_score,
         "fingerprint": textops.q_fingerprint,
@@ -310,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_adjacent": dedup.Q_JACCARD_ADJ_SQL,
         "knn_cosine": similarity.Q_KNN_SQL,
         "knn_ivf": similarity.Q_KNN_IVF_SQL,
+        "knn_lsh": similarity.Q_KNN_LSH_SQL,
         "stratified_split": curation.Q_STRATIFIED_SPLIT_SQL,
         "split_stats": curation.Q_SPLIT_STATS_SQL,
         "pii_redact": curation.Q_PII_REDACT_SQL,

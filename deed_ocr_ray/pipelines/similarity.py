@@ -214,6 +214,92 @@ FROM (
 """
 
 
+LSH_BITS = 4  # sign-hash width -> 2^4 = 16 buckets
+
+
+def _lsh_bucket(m: np.ndarray) -> np.ndarray:
+    """Random-hyperplane LSH bucket with the coordinate axes as the
+    hyperplane family (embeddings carry no preferred orientation, so
+    axis signs are as good as seeded Gaussians — and, unlike a random
+    matrix, the DuckDB oracle can recompute them exactly). Bucket =
+    the sign bits of the first ``LSH_BITS`` coordinates."""
+    bits = (m[:, :LSH_BITS] >= 0.0).astype(np.int64)
+    return bits @ (1 << np.arange(LSH_BITS, dtype=np.int64))
+
+
+def q_knn_lsh(sf_dir: str) -> "ray.data.Dataset":
+    """LSH-bucketed approximate k-NN — the second scale path next to
+    IVF (brief: "an IVF or LSH-bucketed variant"): candidates are only
+    scored within the query's sign-hash bucket, so each batch scans
+    ~1/2^LSH_BITS of its rows and the exchange still moves only local
+    top-k rows. At cluster scale the corpus is hash-partitioned by
+    bucket and only the probed buckets are read.
+    Columns: query_id, neighbor_id, cos."""
+    q, qid, _ = _load_queries(sf_dir)
+    qb = _lsh_bucket(q)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    class LshScorer(TopKScorer):
+        def __init__(self) -> None:
+            super().__init__(q, qid, K_NEIGHBORS)
+            self.qb = qb
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vec_ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+            m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+            mb = _lsh_bucket(m) if m.size else np.zeros(0, dtype=np.int64)
+            out_q, out_n, out_c = [], [], []
+            for i, (qid_i, qb_i) in enumerate(zip(self.qid, self.qb)):
+                sel = np.where((mb == qb_i) & (vec_ids != qid_i))[0]
+                if len(sel) == 0:
+                    continue
+                row = _cosine_block(self.q[i : i + 1], m[sel])[0]
+                order = np.lexsort((vec_ids[sel], -row))[: self.k]
+                out_q.extend([int(qid_i)] * len(order))
+                out_n.extend(int(v) for v in vec_ids[sel][order])
+                out_c.extend(float(c) for c in row[order])
+            return pa.table({
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+                "cos": pa.array(out_c, type=pa.float64()),
+            })
+
+    local = ds.map_batches(LshScorer(), batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(_global_topk, batch_format="pandas")
+
+
+def _lsh_bucket_sql(col: str) -> str:
+    return " + ".join(
+        f"{1 << b}*(CASE WHEN {col}[{b + 1}] >= 0 THEN 1 ELSE 0 END)"
+        for b in range(LSH_BITS))
+
+
+Q_KNN_LSH_SQL = f"""
+WITH b AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {_lsh_bucket_sql("embedding")} AS bucket
+    FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qv, bucket
+    FROM b ORDER BY vec_id LIMIT {N_QUERIES}
+),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(q.qv, e.v) AS cos
+    FROM q JOIN b e ON e.bucket = q.bucket
+    WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id ASC) AS rn
+    FROM scored
+) WHERE rn <= {K_NEIGHBORS}
+"""
+
+
 MAX_LABEL_DOCS = 20_000   # hard compute cap: a label group beyond this is
                           # NOT all-pairs-scanned (O(n²) on a hot label);
                           # it emits an overflow sentinel row instead —

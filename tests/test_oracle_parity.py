@@ -85,6 +85,7 @@ PARITY = [
     ("order_percent_rank",),
     ("delta_apply",),
     ("vocab_ids",),
+    ("knn_lsh",),
 ]
 
 
