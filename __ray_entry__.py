@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_apply": curation.q_delta_apply,
         "vocab_ids": textops.q_vocab_ids,
         "knn_lsh": similarity.q_knn_lsh,
+        "fuzzy_url_pairs": dedup.q_fuzzy_url_pairs,
         # ------ tier 3: last checked in r1/r2 only
         "quality_score": textops.q_quality_score,
         "fingerprint": textops.q_fingerprint,
@@ -352,7 +353,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _linkgraph_oracles() -> dict[str, str]:
-    from deed_ocr_ray.pipelines import linkgraph, prep
+    from deed_ocr_ray.pipelines import dedup, linkgraph, prep
     from deed_ocr_ray.pipelines.corpus import pages_corpus_for
 
     corpus = pages_corpus_for("/root/testdata/sf0.01")
@@ -366,4 +367,5 @@ def _linkgraph_oracles() -> dict[str, str]:
         "pagerank": linkgraph.pagerank_sql(corpus),
         "doc_authority": linkgraph.doc_authority_sql(corpus),
         "paragraph_dedup": prep.paragraph_dedup_sql(corpus),
+        "fuzzy_url_pairs": dedup.fuzzy_url_pairs_sql(corpus),
     }

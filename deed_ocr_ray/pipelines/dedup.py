@@ -884,3 +884,105 @@ def q_cluster_keep_best(sf_dir: str, min_est: float = 0.5) -> "ray.data.Dataset"
         })
 
     return joined.groupby("rep_id").map_groups(decide, batch_format="pandas")
+
+
+# --------------------------------------------- fuzzy (edit-distance) join
+
+FUZZY_MAX_DIST = 2
+FUZZY_MAX_BLOCK = 2_000   # per-host pair-scan cap (O(n²) guard): a host
+                          # beyond this emits an observable overflow
+                          # sentinel instead of scanning — the
+                          # MAX_BUCKET/MAX_LABEL_DOCS convention
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance (insert/delete/substitute = 1), the
+    classic two-row DP — semantics identical to DuckDB ``levenshtein``
+    so the oracle hashes exactly."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def q_fuzzy_url_pairs(
+    sf_dir: str, max_dist: int = FUZZY_MAX_DIST,
+    max_block: int = FUZZY_MAX_BLOCK,
+) -> "ray.data.Dataset":
+    """Fuzzy SIMILARITY JOIN with blocking: within-host url pairs at
+    edit distance <= ``max_dist`` — the typo/variant-url detector and
+    the string-fuzzy-join primitive: block on a cheap equality key,
+    scan pairs only inside a block. Per-batch distinct shrinks the
+    exchange to unique urls; the per-host scan length-prefilters
+    (|len(a)-len(b)| > max_dist can never match) before the DP; hosts
+    larger than ``max_block`` emit an observable overflow sentinel
+    (dist = -1) instead of an O(n²) scan.
+    Columns: url_a, url_b, dist."""
+    from .linkgraph import host_of_url
+    from ..sources.pages import read_pages
+    from .corpus import pages_corpus_for
+
+    corpus = pages_corpus_for(sf_dir)
+    ds = read_pages(corpus, columns=["url"])
+
+    def distinct_hosted(t: pa.Table) -> pa.Table:
+        urls = sorted(set(t["url"].to_pylist()))
+        return pa.table({
+            "host": pa.array([host_of_url(u) for u in urls],
+                             type=pa.string()),
+            "url": pa.array(urls, type=pa.string()),
+        })
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        urls = sorted(set(g["url"].tolist()))
+        out_a: List[str] = []; out_b: List[str] = []; out_d: List[int] = []
+        if len(urls) > max_block:
+            out_a.append(g["host"].iloc[0])
+            out_b.append("OVERFLOW")
+            out_d.append(-1)
+        else:
+            lens = [len(u) for u in urls]
+            for i in range(len(urls)):
+                for j in range(i + 1, len(urls)):
+                    if abs(lens[i] - lens[j]) > max_dist:
+                        continue
+                    d = levenshtein(urls[i], urls[j])
+                    if d <= max_dist:
+                        out_a.append(urls[i])
+                        out_b.append(urls[j])
+                        out_d.append(d)
+        return pa.table({
+            "url_a": pa.array(out_a, type=pa.string()),
+            "url_b": pa.array(out_b, type=pa.string()),
+            "dist": pa.array(out_d, type=pa.int64()),
+        })
+
+    return (ds.map_batches(distinct_hosted, batch_format="pyarrow")
+            .groupby("host")
+            .map_groups(pairs, batch_format="pandas"))
+
+
+def fuzzy_url_pairs_sql(corpus: str, max_dist: int = FUZZY_MAX_DIST) -> str:
+    """DuckDB replay over the corpus parquet (same host expression as
+    the link-graph oracles). Valid while every host is under
+    FUZZY_MAX_BLOCK urls — true for the gate corpus; the overflow path
+    is pinned by a pytest instead."""
+    host = ("lower(split_part(split_part(split_part(split_part("
+            "split_part(url, '://', 2), '/', 1), '?', 1), '#', 1),"
+            " ':', 1))")
+    return f"""
+WITH u AS (SELECT DISTINCT url FROM read_parquet('{corpus}/*.parquet')),
+h AS (SELECT url, {host} AS host FROM u)
+SELECT a.url AS url_a, b.url AS url_b,
+       CAST(levenshtein(a.url, b.url) AS BIGINT) AS dist
+FROM h a JOIN h b ON a.host = b.host AND a.url < b.url
+WHERE levenshtein(a.url, b.url) <= {int(max_dist)}
+"""

@@ -551,3 +551,57 @@ def test_vocab_ids_dense_global_enumeration(ray_session, tmp_path):
     assert list(got["vocab_id"]) == list(range(len(ref)))
     assert list(got["term"]) == [t for t, _ in ref]
     assert list(got["n"]) == [n for _, n in ref]
+
+
+@pytest.mark.parametrize("cutoff", [10_000_000, 0])  # broadcast / join plan
+def test_attach_dim_inner_semantics_drop_misses(ray_session, tmp_path, cutoff):
+    """Fact rows whose key misses the dim must DROP (inner-join
+    semantics) on BOTH plans — the sf tables have full FK integrity,
+    so the gate never exercises the miss path."""
+    import ray.data
+
+    from deed_ocr_ray.pipelines.relational import DimSpec, attach_dim
+
+    dim = pa.table({
+        "k": pa.array([1, 2, 3], type=pa.int64()),
+        "name": pa.array(["a", "b", "c"], type=pa.string()),
+    })
+    _write(tmp_path, "dim", dim)
+    fact = ray.data.from_arrow(pa.table({
+        "fk": pa.array([1, 2, 9, 3, 8], type=pa.int64()),
+        "v": pa.array([10, 20, 30, 40, 50], type=pa.int64()),
+    }))
+    out = attach_dim(
+        fact, "fk",
+        DimSpec(str(tmp_path / "dim.parquet"), ["k", "name"], "k"),
+        cutoff=cutoff, fact_rows=5,
+    ).to_pandas().sort_values("fk").reset_index(drop=True)
+    assert list(out["fk"]) == [1, 2, 3]          # 9 and 8 dropped
+    assert list(out["name"]) == ["a", "b", "c"]
+    assert list(out["v"]) == [10, 20, 40]
+    assert sorted(out.columns) == ["fk", "name", "v"]
+
+
+def test_levenshtein_matches_duckdb_on_random_strings():
+    import random
+
+    from deed_ocr_ray.pipelines.dedup import levenshtein
+
+    rng = random.Random(11)
+    con = duckdb.connect()
+    for _ in range(200):
+        a = "".join(rng.choice("abcxyz/0123") for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice("abcxyz/0123") for _ in range(rng.randint(0, 12)))
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert levenshtein(a, b) == want, (a, b)
+
+
+def test_fuzzy_url_pairs_overflow_sentinel(ray_session):
+    """A host block beyond max_block must emit one observable
+    (host, 'OVERFLOW', -1) sentinel instead of an O(n^2) scan."""
+    from deed_ocr_ray.pipelines.dedup import q_fuzzy_url_pairs
+
+    out = q_fuzzy_url_pairs("/root/testdata/sf0.001", max_block=1).to_pandas()
+    assert (out["url_b"] == "OVERFLOW").all()
+    assert (out["dist"] == -1).all()
+    assert len(out) > 0 and out["url_a"].is_unique  # one sentinel per host

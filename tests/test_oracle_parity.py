@@ -86,6 +86,7 @@ PARITY = [
     ("delta_apply",),
     ("vocab_ids",),
     ("knn_lsh",),
+    ("fuzzy_url_pairs",),
 ]
 
 
