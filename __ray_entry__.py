@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_ids": textops.q_vocab_ids,
         "knn_lsh": similarity.q_knn_lsh,
         "fuzzy_url_pairs": dedup.q_fuzzy_url_pairs,
+        "value_outliers": analysis.q_value_outliers,
         # ------ tier 3: last checked in r1/r2 only
         "quality_score": textops.q_quality_score,
         "fingerprint": textops.q_fingerprint,
@@ -338,6 +339,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": curation.Q_SNAPSHOT_DIFF_SQL,
         "delta_apply": curation.Q_DELTA_APPLY_SQL,
         "vocab_ids": textops.Q_VOCAB_IDS_SQL,
+        "value_outliers": analysis.Q_VALUE_OUTLIERS_SQL,
         "grouped_percentiles": analysis.Q_GROUPED_PERCENTILES_SQL,
         "price_deciles": analysis.Q_PRICE_DECILES_SQL,
         "lang_pivot": analysis.Q_LANG_PIVOT_SQL,

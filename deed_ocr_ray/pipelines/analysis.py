@@ -1343,3 +1343,80 @@ SELECT t.doc_id,
        ln((COALESCE(s.c_sum, 0) + 1.0) / (COALESCE(s.nb, 0) + 1.0)) AS lm_score
 FROM toks t LEFT JOIN s USING (doc_id)
 """
+
+
+# ------------------------------------------------ IQR outlier fences
+
+def q_value_outliers(sf_dir: str) -> "ray.data.Dataset":
+    """Grouped ROBUST outlier detection: events whose value falls
+    outside the classic Tukey fences [q1 − 1.5·IQR, q3 + 1.5·IQR] of
+    their event_type — the data-cleaning primitive a curation pass
+    runs on numeric columns before training-set admission. Everything
+    stays integer: value in cents, quartiles as self-defined exact
+    order statistics (rank ceil(n/4) / ceil(3n/4) under the
+    deterministic (cents, event_id) order — NOT the engine-dependent
+    quantile builtin), and the fence test doubled through to avoid the
+    .5 ((2x < 2q1 − 3·IQR) ⇔ (x < q1 − 1.5·IQR)) so the DuckDB oracle
+    hashes exactly. Per-key map_groups is fine at event-type
+    cardinality; coarse-partition for high-cardinality keys.
+    Columns: event_id, event_type, cents."""
+    import math
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type", "value"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "cents": pc.round(pc.multiply(t["value"], 100.0),
+                              round_mode="half_towards_infinity"
+                              ).cast(pa.int64()),
+        })
+
+    def fences(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["cents", "event_id"], kind="mergesort")
+        v = g["cents"].to_numpy()
+        n = len(v)
+        q1 = int(v[math.ceil(n / 4) - 1])
+        q3 = int(v[math.ceil(3 * n / 4) - 1])
+        iqr = q3 - q1
+        keep = (2 * v < 2 * q1 - 3 * iqr) | (2 * v > 2 * q3 + 3 * iqr)
+        out = g[keep]
+        return pa.table({
+            "event_id": pa.array(out["event_id"].to_numpy(), type=pa.int64()),
+            "event_type": pa.array(out["event_type"].tolist(),
+                                   type=pa.string()),
+            "cents": pa.array(out["cents"].to_numpy(), type=pa.int64()),
+        })
+
+    return (ds.map_batches(slim, batch_format="pyarrow")
+            .groupby("event_type")
+            .map_groups(fences, batch_format="pandas"))
+
+
+Q_VALUE_OUTLIERS_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+),
+q AS (
+  SELECT event_type,
+         max(CASE WHEN rn = CAST(ceil(n/4.0) AS BIGINT) THEN cents END) AS q1,
+         max(CASE WHEN rn = CAST(ceil(3*n/4.0) AS BIGINT) THEN cents END) AS q3
+  FROM r GROUP BY 1
+)
+SELECT c.event_id, c.event_type, c.cents
+FROM c JOIN q USING (event_type)
+WHERE 2*c.cents < 2*q.q1 - 3*(q.q3 - q.q1)
+   OR 2*c.cents > 2*q.q3 + 3*(q.q3 - q.q1)
+"""

@@ -87,6 +87,7 @@ PARITY = [
     ("vocab_ids",),
     ("knn_lsh",),
     ("fuzzy_url_pairs",),
+    ("value_outliers",),
 ]
 
 
