@@ -29,10 +29,12 @@ def cached_get(ref) -> Any:
     key = ref.hex()
     if key not in _CACHE:
         if len(_CACHE) >= _MAX_ENTRIES:
-            # evict the OLDEST entry only (dict preserves insertion
-            # order) — clearing the whole cache would force every hot
-            # broadcast on this worker to re-deserialize on its next
-            # batch just because a 17th distinct ref showed up
+            # evict the LEAST-RECENTLY-USED entry (hits below re-insert
+            # at the tail) — clearing the whole cache would force every
+            # hot broadcast on this worker to re-deserialize on its
+            # next batch just because a 17th distinct ref showed up
             _CACHE.pop(next(iter(_CACHE)))
         _CACHE[key] = ray.get(ref)
+    else:
+        _CACHE[key] = _CACHE.pop(key)
     return _CACHE[key]

@@ -687,14 +687,23 @@ s2 AS (
 ),
 s3 AS (
   SELECT doc_id, sch, host,
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(
         regexp_replace(tail, '[?&]utm_[a-z_]+=[^&#]*', '', 'g'),
-        '\?&', '?'), '^([^?&]*)&', '\1?'), '\?+$', ''), '(.)/$', '\1') AS tail
+        '\?&', '?'), '^([^?&]*)&', '\1?') AS pre
   FROM s2
+),
+s4 AS (
+  -- trailing ?/ run strips to fixpoint (matches urlnorm._TRAIL_RUN);
+  -- a tail that was nothing but the run keeps its root slash
+  SELECT doc_id, sch, host, pre,
+         regexp_replace(pre, '[?/]+$', '') AS stripped
+  FROM s3
 )
-SELECT sch || host || tail AS canon_url,
+SELECT sch || host ||
+       CASE WHEN stripped = '' AND pre LIKE '/%' THEN '/' ELSE stripped END
+       AS canon_url,
        MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_dupes
-FROM s3 GROUP BY 1
+FROM s4 GROUP BY 1
 """
 
 

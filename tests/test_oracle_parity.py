@@ -124,6 +124,9 @@ def test_attach_dim_join_path_matches_oracle(ray_session, con, name):
     want = con.execute(ent.oracle_sql()[name]).fetchdf()
     assert sorted(got.columns) == sorted(want.columns)
     assert canon(got) == canon(want)
+
+
+def test_entry_smoke(ray_session):
     import __ray_entry__ as ent
 
     ds = ent.entry()
