@@ -25,6 +25,7 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
@@ -76,31 +77,32 @@ def q_dup_ngram_coverage(sf_dir: str, n: int = 5, min_count: int = 2) -> "ray.da
                                columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
-        doc_ids: list = []
-        starts: list = []
-        ngs: list = []
-        ntoks: list = []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = text.strip().split(" ")
-            L = len(toks)
-            doc_ids.append(did); starts.append(-1); ngs.append(""); ntoks.append(L)
-            for j in range(L - n + 1):
-                doc_ids.append(did)
-                starts.append(j)
-                ngs.append(" ".join(toks[j:j + n]))
-                ntoks.append(0)
-        tbl = pa.table({
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "j": pa.array(starts, type=pa.int64()),
-            "ng": pa.array(ngs, type=pa.string()),
-            "n_tokens": pa.array(ntoks, type=pa.int64()),
-        })
+        from ..functions import tokens as tk
+
+        toks = tk.split_space(t["text"])
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        parent, j, ng = tk.ngram_windows_from_tokens(toks, n)
+        dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # sentinels first (one per doc, j=-1 carrying n_tokens), then
+        # all window rows; downstream groups/sorts, order is free.
         # real rows shuffle by n-gram; sentinels by doc id (spreads the
         # one-row-per-doc stream instead of hot-spotting partition of "")
-        part = _hash_part(ngs)
-        sent = np.asarray(starts) < 0
-        part[sent] = (np.asarray(doc_ids)[sent] % N_PARTS).astype(np.int32)
-        return tbl.append_column("part", pa.array(part, type=pa.int32()))
+        sent_part = (dids % N_PARTS).astype(np.int32)
+        win_dids = dids[parent]
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([dids, win_dids]), type=pa.int64()),
+            "j": pa.array(np.concatenate([np.full(len(dids), -1, dtype=np.int64), j]),
+                          type=pa.int64()),
+            "ng": pa.concat_arrays([pa.nulls(len(dids), pa.string()).fill_null(""),
+                                    ng.cast(pa.string())]),
+            "n_tokens": pa.array(
+                np.concatenate([lens.astype(np.int64),
+                                np.zeros(len(j), dtype=np.int64)]),
+                type=pa.int64()),
+            "part": pa.array(
+                np.concatenate([sent_part, tk.hash_part_pa(ng, N_PARTS)]),
+                type=pa.int32()),
+        })
 
     def count_filter(g: pd.DataFrame) -> pa.Table:
         real = g["j"].to_numpy() >= 0
@@ -208,22 +210,19 @@ def q_tfidf_topk(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
     n_docs = ds.count()
 
     def pairs(t: pa.Table) -> pa.Table:
-        doc_ids: list = []
-        terms: list = []
-        tfs: list = []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            local: dict = {}
-            for w in text.split():
-                local[w] = local.get(w, 0) + 1
-            doc_ids.extend([did] * len(local))
-            terms.extend(local.keys())
-            tfs.extend(local.values())
-        tbl = pa.table({
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "term": pa.array(terms, type=pa.string()),
-            "tf": pa.array(tfs, type=pa.int64()),
+        from ..functions import tokens as tk
+
+        flat, parent = tk.explode_ws(t["text"])
+        dids = pc.take(t["doc_id"].combine_chunks(), parent)
+        g = (pa.table({"doc_id": dids.cast(pa.int64()), "term": flat.cast(pa.string())})
+             .group_by(["doc_id", "term"], use_threads=False)
+             .aggregate([([], "count_all")]))
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "term": g["term"],
+            "tf": g["count_all"].cast(pa.int64()),
+            "part": pa.array(tk.hash_part_pa(g["term"], N_PARTS), type=pa.int32()),
         })
-        return tbl.append_column("part", pa.array(_hash_part(terms), type=pa.int32()))
 
     def attach_df(g: pd.DataFrame) -> pa.Table:
         # one (doc, term) row per doc ⇒ rows-per-term == document freq
@@ -999,16 +998,14 @@ def q_token_rarity(sf_dir: str, rare_max: int = RARE_MAX) -> "ray.data.Dataset":
                                columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
-        doc_ids: list = []
-        toks: list = []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            ts = text.strip().split(" ")
-            doc_ids.extend([did] * len(ts))
-            toks.extend(ts)
+        from ..functions import tokens as tk
+
+        flat, parent, _ = tk.explode_space(t["text"])
+        dids = pc.take(t["doc_id"].combine_chunks(), parent)
         return pa.table({
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "tok": pa.array(toks, type=pa.string()),
-            "part": pa.array(_hash_part(toks), type=pa.int32()),
+            "doc_id": dids.cast(pa.int64()),
+            "tok": flat.cast(pa.string()),
+            "part": pa.array(tk.hash_part_pa(flat, N_PARTS), type=pa.int32()),
         })
 
     def fold(g: pd.DataFrame) -> pa.Table:
@@ -1095,25 +1092,23 @@ def q_remove_dup_ngrams(sf_dir: str, n: int = 5, min_count: int = 2) -> "ray.dat
                                columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
-        doc_ids: list = []
-        starts: list = []
-        ngs: list = []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = text.strip().split(" ")
-            doc_ids.append(did); starts.append(-1); ngs.append("")
-            for j in range(len(toks) - n + 1):
-                doc_ids.append(did)
-                starts.append(j)
-                ngs.append(" ".join(toks[j:j + n]))
-        tbl = pa.table({
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "j": pa.array(starts, type=pa.int64()),
-            "ng": pa.array(ngs, type=pa.string()),
+        from ..functions import tokens as tk
+
+        parent, j, ng = tk.ngram_windows(t["text"], n)
+        dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # sentinel (j=-1) per doc rides first; window rows shuffle by
+        # n-gram hash, sentinels by doc id
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([dids, dids[parent]]), type=pa.int64()),
+            "j": pa.array(np.concatenate([np.full(len(dids), -1, dtype=np.int64), j]),
+                          type=pa.int64()),
+            "ng": pa.concat_arrays([pa.nulls(len(dids), pa.string()).fill_null(""),
+                                    ng.cast(pa.string())]),
+            "part": pa.array(
+                np.concatenate([(dids % N_PARTS).astype(np.int32),
+                                tk.hash_part_pa(ng, N_PARTS)]),
+                type=pa.int32()),
         })
-        part = _hash_part(ngs)
-        sent = np.asarray(starts) < 0
-        part[sent] = (np.asarray(doc_ids)[sent] % N_PARTS).astype(np.int32)
-        return tbl.append_column("part", pa.array(part, type=pa.int32()))
 
     def count_filter(g: pd.DataFrame) -> pa.Table:
         real = g["j"].to_numpy() >= 0
@@ -1256,28 +1251,28 @@ def q_lm_score(sf_dir: str) -> "ray.data.Dataset":
                                columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
-        doc_ids: list = []
-        bgs: list = []
-        tfs: list = []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = text.strip().split(" ")
-            local: dict = {}
-            for a, b in zip(toks, toks[1:]):
-                bg = a + " " + b
-                local[bg] = local.get(bg, 0) + 1
-            doc_ids.append(did); bgs.append(""); tfs.append(0)  # sentinel
-            doc_ids.extend([did] * len(local))
-            bgs.extend(local.keys())
-            tfs.extend(local.values())
-        tbl = pa.table({
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "bg": pa.array(bgs, type=pa.string()),
-            "tf": pa.array(tfs, type=pa.int64()),
+        from ..functions import tokens as tk
+
+        parent, _, bg = tk.ngram_windows(t["text"], 2)
+        dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (pa.table({"doc_id": pa.array(dids[parent], type=pa.int64()),
+                       "bg": bg.cast(pa.string())})
+             .group_by(["doc_id", "bg"], use_threads=False)
+             .aggregate([([], "count_all")]))
+        # sentinel (tf=0) per doc rides the shuffle on doc_id % P so
+        # zero-bigram docs still emit a row
+        return pa.table({
+            "doc_id": pa.concat_arrays([pa.array(dids, type=pa.int64()),
+                                        tk._plain(g["doc_id"])]),
+            "bg": pa.concat_arrays([pa.nulls(len(dids), pa.string()).fill_null(""),
+                                    tk._plain(g["bg"])]),
+            "tf": pa.concat_arrays([pa.nulls(len(dids), pa.int64()).fill_null(0),
+                                    tk._plain(g["count_all"].cast(pa.int64()))]),
+            "part": pa.array(
+                np.concatenate([(dids % N_PARTS).astype(np.int32),
+                                tk.hash_part_pa(g["bg"], N_PARTS)]),
+                type=pa.int32()),
         })
-        part = _hash_part(bgs)
-        sent = np.asarray(tfs) == 0
-        part[sent] = (np.asarray(doc_ids)[sent] % N_PARTS).astype(np.int32)
-        return tbl.append_column("part", pa.array(part, type=pa.int32()))
 
     def fold(g: pd.DataFrame) -> pa.Table:
         real = g[g["tf"] > 0]

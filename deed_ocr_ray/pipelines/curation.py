@@ -150,24 +150,35 @@ def q_pii_redact(sf_dir: str) -> "ray.data.Dataset":
                                columns=["doc_id", "text"])
 
     def scrub(t: pa.Table) -> pa.Table:
-        out_n_e: List[int] = []
-        out_n_p: List[int] = []
-        out_txt: List[str] = []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            full = text
-            if did % 2 == 0:
-                full += f" Contact user{did}@mail{did % 7}.example.org now."
-            if did % 3 == 0:
-                full += f" Call 555-{100 + did % 900}-{1000 + did % 9000}."
-            clean, n_e, n_p = redact_pii(full)
-            out_n_e.append(n_e)
-            out_n_p.append(n_p)
-            out_txt.append(clean)
+        import pyarrow.compute as pc
+
+        from ..functions import tokens as tk
+
+        dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = lambda a: pc.cast(pa.array(a), pa.string())  # noqa: E731
+        email_sfx = pc.if_else(
+            pa.array(dids % 2 == 0),
+            pc.binary_join_element_wise(
+                " Contact user", s(dids), "@mail", s(dids % 7),
+                ".example.org now.", ""),
+            "")
+        phone_sfx = pc.if_else(
+            pa.array(dids % 3 == 0),
+            pc.binary_join_element_wise(
+                " Call 555-", s(100 + dids % 900), "-", s(1000 + dids % 9000),
+                ".", ""),
+            "")
+        full = pc.binary_join_element_wise(
+            tk._plain(t["text"]).cast(pa.string()), email_sfx, phone_sfx, "")
+        n_e = pc.count_substring_regex(full, EMAIL_PAT)
+        clean = pc.replace_substring_regex(full, EMAIL_PAT, "<EMAIL>")
+        n_p = pc.count_substring_regex(clean, PHONE_PAT)
+        clean = pc.replace_substring_regex(clean, PHONE_PAT, "<PHONE>")
         return pa.table({
             "doc_id": t["doc_id"],
-            "n_emails": pa.array(out_n_e, type=pa.int64()),
-            "n_phones": pa.array(out_n_p, type=pa.int64()),
-            "clean_text": pa.array(out_txt, type=pa.string()),
+            "n_emails": n_e.cast(pa.int64()),
+            "n_phones": n_p.cast(pa.int64()),
+            "clean_text": clean,
         })
 
     return ds.map_batches(scrub, batch_format="pyarrow")
@@ -663,39 +674,48 @@ def q_decontaminate(sf_dir: str, n: int = DECON_N,
                                columns=["doc_id", "text"])
 
     def bench_grams(t: pa.Table) -> pa.Table:
-        out: set = set()
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            if did % bench_mod != 0:
-                continue
-            toks = text.strip().split(" ")
-            for j in range(len(toks) - n + 1):
-                out.add(" ".join(toks[j:j + n]))
-        return pa.table({"ng": pa.array(sorted(out), type=pa.string())})
+        import pyarrow.compute as pc
 
-    # benchmark side: small by definition -> driver set + one broadcast
+        from ..functions import tokens as tk
+
+        dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = tk._plain(t["text"]).filter(pa.array(dids % bench_mod == 0))
+        _, _, ng = tk.ngram_windows(texts, n)
+        return pa.table({"ng": pc.unique(ng).cast(pa.string())})
+
+    # benchmark side: small by definition -> driver distinct + one
+    # broadcast of the Arrow value-set (zero-copy in the object store)
     bench = set()
     for b in ds.map_batches(bench_grams, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow"):
         bench.update(b["ng"].to_pylist())
-    bench_ref = ray.put(frozenset(bench))
+    bench_ref = ray.put(pa.array(sorted(bench), type=pa.string()))
 
     def probe(t: pa.Table) -> pa.Table:
-        bset = ray.get(bench_ref)
-        ids, n_grams, n_over = [], [], []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            if did % bench_mod == 0:
-                continue
-            toks = text.strip().split(" ")
-            grams = {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
-            ids.append(did)
-            n_grams.append(len(grams))
-            n_over.append(len(grams & bset))
-        over = np.asarray(n_over, dtype=np.int64)
+        import pyarrow.compute as pc
+
+        from ..functions import tokens as tk
+        from .broadcast import cached_get
+
+        bench_arr = cached_get(bench_ref)
+        dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = dids % bench_mod != 0
+        texts = tk._plain(t["text"]).filter(pa.array(keep))
+        dnb = dids[keep]
+        parent, _, ng = tk.ngram_windows(texts, n)
+        # distinct grams per doc, then per-doc counts via bincount —
+        # zero-window docs still emit a (0, 0) row
+        u = (pa.table({"p": pa.array(parent), "ng": ng})
+             .group_by(["p", "ng"], use_threads=False).aggregate([]))
+        p = u["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        over = pc.is_in(u["ng"], value_set=bench_arr).to_numpy(zero_copy_only=False)
+        n_grams = np.bincount(p, minlength=len(dnb)).astype(np.int64)
+        n_over = np.bincount(p[over], minlength=len(dnb)).astype(np.int64)
         return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
+            "doc_id": pa.array(dnb, type=pa.int64()),
             "n_grams": pa.array(n_grams, type=pa.int64()),
-            "n_overlap": pa.array(over, type=pa.int64()),
-            "contaminated": pa.array(over > 0, type=pa.bool_()),
+            "n_overlap": pa.array(n_over, type=pa.int64()),
+            "contaminated": pa.array(n_over > 0, type=pa.bool_()),
         })
 
     return ds.map_batches(probe, batch_format="pyarrow")

@@ -889,10 +889,19 @@ def q_cluster_keep_best(sf_dir: str, min_est: float = 0.5) -> "ray.data.Dataset"
 # --------------------------------------------- fuzzy (edit-distance) join
 
 FUZZY_MAX_DIST = 2
-FUZZY_MAX_BLOCK = 2_000   # per-host pair-scan cap (O(n²) guard): a host
+FUZZY_MAX_BLOCK = 8_000   # per-host pair-scan cap (O(n²) guard): a host
                           # beyond this emits an observable overflow
                           # sentinel instead of scanning — the
-                          # MAX_BUCKET/MAX_LABEL_DOCS convention
+                          # MAX_BUCKET/MAX_LABEL_DOCS convention.
+                          # Raised 2k->8k in r5: the banded numpy DP
+                          # below is ~2 orders cheaper per pair than
+                          # the old per-pair Python DP.
+FUZZY_PAIR_CHUNK = 200_000  # pairs per numpy DP chunk (bounds the
+                            # char-matrix working set to ~2×chunk×Lmax×4B)
+FUZZY_MAX_PAIRS = 10_000_000  # per-host candidate-pair cap AFTER the
+                              # length prefilter (bounds index memory
+                              # on same-length-heavy hosts) — exceeded
+                              # hosts emit the same overflow sentinel
 
 
 def levenshtein(a: str, b: str) -> int:
@@ -911,6 +920,80 @@ def levenshtein(a: str, b: str) -> int:
                            prev[j - 1] + (ca != cb)))
         prev = cur
     return prev[-1]
+
+
+def _codes_matrix(strs: list) -> np.ndarray:
+    """(n, Lmax) uint32 codepoint matrix, zero-padded — one C-level
+    view of the fixed-width numpy unicode buffer, no per-char loop."""
+    u = np.array(strs, dtype="U")          # fixed-width U<Lmax>
+    lmax = u.dtype.itemsize // 4
+    if lmax == 0:                          # all-empty strings
+        return np.zeros((len(strs), 0), dtype=np.uint32)
+    return u.view(np.uint32).reshape(len(strs), lmax)
+
+
+def banded_lev_many(
+    codes: np.ndarray, lens: np.ndarray,
+    ia: np.ndarray, ib: np.ndarray, k: int,
+) -> np.ndarray:
+    """Unit-cost edit distance for MANY string pairs at once, banded at
+    ``k`` and saturating at ``k + 1`` (meaning "> k") — the vectorized
+    replacement for calling :func:`levenshtein` per pair.
+
+    ``codes``/``lens`` describe the distinct strings (codepoint matrix
+    + true lengths); ``ia``/``ib`` index the pairs. Classic diagonal
+    band ``dp[i][i+d-k]`` for ``d in 0..2k``; each DP step is numpy
+    over all still-alive pairs, dead pairs (band min > k) drop out of
+    the scan, and each pair's answer is captured at ``i == len(a)``.
+    Exact for every pair with ``|len(a)-len(b)| <= k`` (callers
+    prefilter the rest — they can never be within ``k``)."""
+    p = len(ia)
+    INF = np.int32(k + 1)
+    out = np.full(p, INF, dtype=np.int32)
+    if p == 0:
+        return out
+    La, Lb = lens[ia], lens[ib]
+    W = 2 * k + 1
+    band = np.full((p, W), INF, dtype=np.int32)
+    band[:, k:] = np.arange(k + 1, dtype=np.int32)  # dp[0][j] = j
+    done = La == 0                                  # dist("", b) = len(b)
+    out[done] = np.minimum(Lb[done], INF)
+    alive = np.flatnonzero(~done)
+    A, B = codes[ia], codes[ib]
+    lbmax = B.shape[1]
+    i = 0
+    while alive.size:
+        i += 1
+        prev = band[alive]
+        sub_a = A[alive]
+        sub_b = B[alive]
+        new = np.full_like(prev, INF)
+        for d in range(W):
+            j = i + d - k
+            if j < 0:
+                continue
+            if j == 0:
+                new[:, d] = min(i, int(INF))
+                continue
+            if j - 1 < lbmax:
+                cost = (sub_a[:, i - 1] != sub_b[:, j - 1]).astype(np.int32)
+            else:
+                cost = np.int32(1)
+            best = prev[:, d] + cost                      # dp[i-1][j-1]
+            if d + 1 < W:
+                np.minimum(best, prev[:, d + 1] + 1, out=best)   # dp[i-1][j]
+            if d >= 1:
+                np.minimum(best, new[:, d - 1] + 1, out=best)    # dp[i][j-1]
+            new[:, d] = np.minimum(best, INF)
+        band[alive] = new
+        la = La[alive]
+        fin = la == i
+        if fin.any():
+            rows = alive[fin]
+            out[rows] = band[rows, Lb[rows] - i + k]
+        keep = ~fin & (new.min(axis=1) < INF)
+        alive = alive[keep]
+    return out
 
 
 def q_fuzzy_url_pairs(
@@ -943,22 +1026,46 @@ def q_fuzzy_url_pairs(
 
     def pairs(g: pd.DataFrame) -> pa.Table:
         urls = sorted(set(g["url"].tolist()))
+        n = len(urls)
+        if n > max_block:
+            return pa.table({
+                "url_a": pa.array([g["host"].iloc[0]], type=pa.string()),
+                "url_b": pa.array(["OVERFLOW"], type=pa.string()),
+                "dist": pa.array([-1], type=pa.int64()),
+            })
+        codes = _codes_matrix(urls)
+        lens = np.array([len(u) for u in urls], dtype=np.int64)
+        # candidate pairs via the exact length prefilter, built from
+        # length-sorted windows — only |len diff| <= k pairs are ever
+        # materialized (never the n²/2 index matrix)
+        order = np.argsort(lens, kind="stable").astype(np.int32)
+        sl = lens[order]
+        hi = np.searchsorted(sl, sl + max_dist, side="right")
+        cnt = hi - np.arange(n) - 1
+        total = int(cnt.sum())
+        if total > FUZZY_MAX_PAIRS:
+            return pa.table({
+                "url_a": pa.array([g["host"].iloc[0]], type=pa.string()),
+                "url_b": pa.array(["OVERFLOW"], type=pa.string()),
+                "dist": pa.array([-1], type=pa.int64()),
+            })
+        starts = np.cumsum(cnt) - cnt
+        ii_s = np.repeat(np.arange(n, dtype=np.int32), cnt)
+        jj_s = (np.arange(total, dtype=np.int64)
+                - np.repeat(starts, cnt) + ii_s + 1).astype(np.int32)
+        ii, jj = order[ii_s], order[jj_s]
+        # urls is lexicographically sorted, so index order IS url
+        # order: emit (min, max) to satisfy the url_a < url_b contract
+        ii, jj = np.minimum(ii, jj), np.maximum(ii, jj)
         out_a: List[str] = []; out_b: List[str] = []; out_d: List[int] = []
-        if len(urls) > max_block:
-            out_a.append(g["host"].iloc[0])
-            out_b.append("OVERFLOW")
-            out_d.append(-1)
-        else:
-            lens = [len(u) for u in urls]
-            for i in range(len(urls)):
-                for j in range(i + 1, len(urls)):
-                    if abs(lens[i] - lens[j]) > max_dist:
-                        continue
-                    d = levenshtein(urls[i], urls[j])
-                    if d <= max_dist:
-                        out_a.append(urls[i])
-                        out_b.append(urls[j])
-                        out_d.append(d)
+        uarr = np.array(urls, dtype=object)
+        for s in range(0, len(ii), FUZZY_PAIR_CHUNK):
+            ia, ib = ii[s:s + FUZZY_PAIR_CHUNK], jj[s:s + FUZZY_PAIR_CHUNK]
+            d = banded_lev_many(codes, lens, ia, ib, max_dist)
+            hit = d <= max_dist
+            out_a.extend(uarr[ia[hit]].tolist())
+            out_b.extend(uarr[ib[hit]].tolist())
+            out_d.extend(d[hit].tolist())
         return pa.table({
             "url_a": pa.array(out_a, type=pa.string()),
             "url_b": pa.array(out_b, type=pa.string()),

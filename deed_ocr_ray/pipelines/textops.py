@@ -18,6 +18,7 @@ import re
 from typing import Dict, List
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions.normalize import normalize_text
@@ -63,14 +64,27 @@ FROM documents
 """
 
 
+def _ws_token_counts(col: pa.Array) -> "np.ndarray":
+    """``len(x.split())`` per row, vectorized (blank rows count 0)."""
+    import numpy as np
+
+    trimmed = pc.utf8_trim_whitespace(col)
+    lens = pc.list_value_length(pc.utf8_split_whitespace(trimmed)) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    blank = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    return np.where(blank, 0, lens)
+
+
 def q_token_count(sf_dir: str) -> "ray.data.Dataset":
     """Whitespace token count per doc. Columns: doc_id, n_tokens."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        toks = [len(x.split()) for x in t["text"].to_pylist()]
+        from ..functions import tokens as tk
+
+        n = _ws_token_counts(tk._plain(t["text"]))
         return pa.table({"doc_id": t["doc_id"],
-                         "n_tokens": pa.array(toks, type=pa.int64())})
+                         "n_tokens": pa.array(n, type=pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -90,23 +104,23 @@ def q_quality_score(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        chars: List[int] = []
-        words: List[int] = []
-        ppm: List[int] = []
-        mwm: List[int] = []
-        for x in t["text"].to_pylist():
-            c = len(x)
-            w = len(x.split())
-            p = len(_PUNCT_RE.findall(x))
-            chars.append(c)
-            words.append(w)
-            ppm.append((p * 1_000_000) // c if c else 0)
-            nonspace = c - x.count(" ")
-            mwm.append((nonspace * 1000) // w if w else 0)
+        import numpy as np
+
+        from ..functions import tokens as tk
+
+        col = tk._plain(t["text"])
+        c = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = _ws_token_counts(col)
+        p = pc.count_substring_regex(col, _PUNCT_RE.pattern) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        nonspace = c - pc.count_substring(col, " ") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ppm = np.where(c > 0, (p * 1_000_000) // np.maximum(c, 1), 0)
+        mwm = np.where(w > 0, (nonspace * 1000) // np.maximum(w, 1), 0)
         return pa.table({
             "doc_id": t["doc_id"],
-            "chars": pa.array(chars, type=pa.int64()),
-            "words": pa.array(words, type=pa.int64()),
+            "chars": pa.array(c, type=pa.int64()),
+            "words": pa.array(w, type=pa.int64()),
             "punct_ppm": pa.array(ppm, type=pa.int64()),
             "mean_word_milli": pa.array(mwm, type=pa.int64()),
         })
@@ -200,9 +214,13 @@ def q_token_count_bpe(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        n = [len(_BPE_RE.findall(x)) for x in t["text"].to_pylist()]
+        from ..functions import tokens as tk
+
+        # RE2 alternation is leftmost-first like Python re, so the
+        # non-overlapping match COUNT is identical
+        n = pc.count_substring_regex(tk._plain(t["text"]), _BPE_RE.pattern)
         return pa.table({"doc_id": t["doc_id"],
-                         "n_bpe": pa.array(n, type=pa.int64())})
+                         "n_bpe": n.cast(pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -327,6 +345,20 @@ def q_doc_sample(sf_dir: str) -> "ray.data.Dataset":
 Q_DOC_SAMPLE_SQL = "SELECT doc_id, n_chars FROM documents WHERE doc_id % 20 = 3"
 
 
+def _line_dup_counts(col) -> tuple:
+    """``(n_lines, n_dup_lines)`` per row for ``x.split("\\n")``,
+    vectorized via polars list kernels (C-speed per-row distinct)."""
+    import numpy as np
+    import polars as pl
+
+    from ..functions import tokens as tk
+
+    s = pl.Series("t", pl.from_arrow(tk._plain(col))).str.split("\n")
+    n_lines = s.list.len().to_numpy().astype(np.int64)
+    n_uniq = s.list.n_unique().to_numpy().astype(np.int64)
+    return n_lines, n_lines - n_uniq
+
+
 def q_line_repetition(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style repetition signal: duplicate-line counts per doc
     (high duplicate-line fraction flags boilerplate/spam for corpus
@@ -334,11 +366,7 @@ def q_line_repetition(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        n_lines, n_dup = [], []
-        for x in t["text"].to_pylist():
-            lines = x.split("\n")
-            n_lines.append(len(lines))
-            n_dup.append(len(lines) - len(set(lines)))
+        n_lines, n_dup = _line_dup_counts(t["text"])
         return pa.table({
             "doc_id": t["doc_id"],
             "n_lines": pa.array(n_lines, type=pa.int64()),
@@ -396,26 +424,28 @@ def q_corpus_filter(sf_dir: str) -> "ray.data.Dataset":
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        ids, words_l, dups_l = [], [], []
-        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            w = len(x.split())
-            if not (FILTER_MIN_WORDS <= w <= FILTER_MAX_WORDS):
-                continue
-            lines = x.split("\n")
-            dup = len(lines) - len(set(lines))
-            if (dup * 1000) // len(lines) > FILTER_MAX_DUP_LINE_FRAC_PERMILLE:
-                continue
-            nonspace = len(x) - x.count(" ")
-            mwm = (nonspace * 1000) // w
-            if not (FILTER_MIN_MEAN_WORD_MILLI <= mwm <= FILTER_MAX_MEAN_WORD_MILLI):
-                continue
-            ids.append(did)
-            words_l.append(w)
-            dups_l.append(dup)
+        import numpy as np
+
+        from ..functions import tokens as tk
+
+        col = tk._plain(t["text"])
+        w = _ws_token_counts(col)
+        n_lines, dup = _line_dup_counts(col)
+        c = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonspace = c - pc.count_substring(col, " ") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        mwm = (nonspace * 1000) // np.maximum(w, 1)
+        keep = (
+            (FILTER_MIN_WORDS <= w) & (w <= FILTER_MAX_WORDS)
+            & ((dup * 1000) // n_lines <= FILTER_MAX_DUP_LINE_FRAC_PERMILLE)
+            & (FILTER_MIN_MEAN_WORD_MILLI <= mwm)
+            & (mwm <= FILTER_MAX_MEAN_WORD_MILLI)
+        )
+        dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "words": pa.array(words_l, type=pa.int64()),
-            "n_dup_lines": pa.array(dups_l, type=pa.int64()),
+            "doc_id": pa.array(dids[keep], type=pa.int64()),
+            "words": pa.array(w[keep], type=pa.int64()),
+            "n_dup_lines": pa.array(dup[keep], type=pa.int64()),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -455,19 +485,18 @@ def q_posting_pairs(sf_dir: str, min_len: int = 6) -> "ray.data.Dataset":
                                columns=["doc_id", "text"])
 
     def pairs(t: pa.Table) -> pa.Table:
-        terms: list = []
-        ids: list = []
-        seen = set()
-        for did, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            for w in x.split():
-                if len(w) >= min_len and (w, did) not in seen:
-                    seen.add((w, did))
-                    terms.append(w)
-                    ids.append(did)
-        return pa.table({
-            "term": pa.array(terms, type=pa.string()),
-            "doc_id": pa.array(ids, type=pa.int64()),
-        })
+        from ..functions import tokens as tk
+
+        flat, parent = tk.explode_ws(t["text"])
+        keep = pc.greater_equal(pc.utf8_length(flat), min_len)
+        flat, parent = flat.filter(keep), parent.filter(keep)
+        dids = pc.take(t["doc_id"].combine_chunks(), parent)
+        # per-batch distinct (the combiner shrinking the exchange)
+        g = (pa.table({"term": flat.cast(pa.string()),
+                       "doc_id": dids.cast(pa.int64())})
+             .group_by(["term", "doc_id"], use_threads=False)
+             .aggregate([]))
+        return g
 
     uniq = (
         ds.map_batches(pairs, batch_format="pyarrow")
@@ -497,21 +526,23 @@ def q_bigram_counts(sf_dir: str, k: int = 50) -> "ray.data.Dataset":
     Counter combiner shrinks the shuffle to distinct bigrams per block;
     deterministic tie-break (cnt desc, bigram asc).
     Columns: bigram, cnt."""
-    import collections
-
     from ray.data.aggregate import Sum
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        c: collections.Counter = collections.Counter()
-        for x in t["text"].to_pylist():
-            toks = x.split()
-            for i in range(len(toks) - 1):
-                c[toks[i] + " " + toks[i + 1]] += 1
+        from ..functions import tokens as tk
+
+        # split() tokenization; a blank row trims to one empty token,
+        # which yields zero 2-windows — exactly split()'s no-bigrams
+        toks = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(tk._plain(t["text"])))
+        _, _, bg = tk.ngram_windows_from_tokens(toks, 2)
+        g = (pa.table({"bigram": bg.cast(pa.string())})
+             .group_by(["bigram"], use_threads=False)
+             .aggregate([([], "count_all")]))
         return pa.table({
-            "bigram": pa.array(list(c.keys()), type=pa.string()),
-            "cnt": pa.array(list(c.values()), type=pa.int64()),
+            "bigram": g["bigram"],
+            "cnt": g["count_all"].cast(pa.int64()),
         })
 
     agg = (
@@ -714,13 +745,11 @@ def q_vocab_ids(sf_dir: str) -> "ray.data.Dataset":
     a consecutive id ordered by (count desc, term asc) — the
     tokenizer-vocab builder, and the engine's global ordered
     ENUMERATION primitive (zipWithIndex). Distributed shape: per-batch
-    Counter combiner → slim (term, n) groupby → global sort → two-pass
+    Arrow group_by combiner → slim (term, n) groupby → global sort → two-pass
     enumeration (per-block row counts land on the driver — one row per
     BLOCK, bounded — and each block stamps ``offset + arange`` without
     another exchange; the pack_windows prefix-sum trick).
     Columns: term, n, vocab_id."""
-    import collections
-
     import numpy as np
     from ray.data.aggregate import Sum
 
@@ -729,16 +758,20 @@ def q_vocab_ids(sf_dir: str) -> "ray.data.Dataset":
 
     def partial(t: pa.Table) -> pa.Table:
         # single-space split of trimmed text: identical to the oracle's
-        # string_split(trim(text), ' ') (the remove_dup_ngrams contract)
-        c: collections.Counter = collections.Counter()
-        for x in t["text"].to_pylist():
-            s = x.strip()
-            if s:
-                c.update(s.split(" "))
-        terms = sorted(c)
+        # string_split(trim(text), ' ') (the remove_dup_ngrams contract);
+        # empty/blank docs contribute nothing (the `if s` guard) — drop
+        # the empty token their trim+split produces
+        from ..functions import tokens as tk
+
+        trimmed = pc.utf8_trim_whitespace(tk._plain(t["text"]))
+        nonblank = trimmed.filter(pc.not_equal(trimmed, ""))
+        flat = tk._plain(pc.list_flatten(pc.split_pattern(nonblank, " ")))
+        g = (pa.table({"term": flat.cast(pa.string())})
+             .group_by(["term"], use_threads=False)
+             .aggregate([([], "count_all")]))
         return pa.table({
-            "term": pa.array(terms, type=pa.string()),
-            "n": pa.array([c[w] for w in terms], type=pa.int64()),
+            "term": g["term"],
+            "n": g["count_all"].cast(pa.int64()),
         })
 
     ordered = (ds.map_batches(partial, batch_format="pyarrow")
