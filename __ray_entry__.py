@@ -126,19 +126,52 @@ def entry() -> Any:
 
 # ---------------------------------------------------------------- queries
 
+# Round-5 driver-budget ordering (the driver walks queries() in
+# insertion order with a ~50-query budget per round; keep the
+# never/oldest-checked-first discipline):
+#   tier 1 = last CORRECTNESS row in r1/r2 only (14 queries)
+#   tier 2 = oracle newly added in r5 (rows-only -> hash-checked) plus
+#            every query whose implementation was edited in r5
+#            (vectorized explodes, fuzzy DP, grouped-path rework)
+#   tier 3 = last checked in r3; remainder (r4-green) last.
+_R5_TIER1 = [
+    "lang_id", "line_repetition", "compress_ratio", "corpus_filter",
+    "pack_windows", "kmeans", "exact_dedup", "minhash_pairs", "simhash",
+    "simhash_near_pairs", "jaccard_adjacent", "hll_users",
+    "minhash_validate", "lsh_overflow",
+]
+_R5_TIER2 = [
+    "neardup_clusters", "cluster_keep_best", "paragraph_dedup_extracted",
+    "token_rarity", "tfidf_topk", "dup_ngram_coverage",
+    "remove_dup_ngrams", "lm_score", "posting_pairs", "vocab_ids",
+    "bigram_counts", "token_count", "token_count_bpe", "quality_score",
+    "pii_redact", "decontaminate", "fuzzy_url_pairs", "knn_cosine",
+    "knn_ivf", "knn_lsh", "price_quantiles", "sessionize", "canon_dedup",
+    "url_canon", "doc_authority", "training_prep",
+]
+_R5_TIER3 = [
+    "embedding_neardup", "pca_project", "media_pipeline",
+    "image_features", "audio_features", "chunk_windows",
+    "seeded_shuffle", "bpe_merges", "bpe_tokenize", "snapshot_diff",
+    "interleave_sources", "outlinks", "host_graph", "host_degree",
+    "anchor_terms", "extract", "ensemble_extract", "extract_spans",
+    "url_dedup", "pdf_layout", "q1_pricing_summary", "q6_revenue_filter",
+    "topk_orders", "mktsegment_orders", "nation_revenue", "events_hourly",
+    "lang_source_stats", "region_part_revenue", "daily_active_users",
+    "top_parts_per_nation", "running_total", "order_rank",
+    "customers_no_orders", "asof_last_ship", "range_join_ship",
+    "event_transitions", "customer_ltv", "moving_avg_dau",
+    "price_quantile_sketch", "doc_normalize",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from deed_ocr_ray.pipelines import (
         analysis, bpe, curation, dedup, ensemble, linkgraph, multimodal,
         packing, prep, relational, similarity, sketches, textops, windows,
     )
 
-    # NOTE on ordering: the driver walks this dict in insertion order
-    # with a ~50-query budget per round. Tier 1 = the 30 queries with
-    # NO CORRECTNESS row in any round (r1-r3) — the whole
-    # curation/analysis/sketch wave. Tier 2 = queries whose oracle is
-    # new this round (paragraph_dedup, pagerank, doc_authority). Tier 3
-    # = last checked in r1/r2 only. Tier 4 = hash-green in r3.
-    return {
+    base = {
         # ------ tier 1: never driver-checked (r1-r3) — must run first
         "stratified_split": curation.q_stratified_split,
         "split_stats": curation.q_split_stats,
@@ -260,6 +293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": textops.q_token_count,
         "token_count_bpe": textops.q_token_count_bpe,
     }
+    first = [k for k in _R5_TIER1 + _R5_TIER2 + _R5_TIER3 if k in base]
+    rest = [k for k in base if k not in set(first)]
+    return {k: base[k] for k in first + rest}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -370,4 +406,13 @@ def _linkgraph_oracles() -> dict[str, str]:
         "doc_authority": linkgraph.doc_authority_sql(corpus),
         "paragraph_dedup": prep.paragraph_dedup_sql(corpus),
         "fuzzy_url_pairs": dedup.fuzzy_url_pairs_sql(corpus),
+        # round-5 upgrades: replay over CHECKPOINT parquet (the same
+        # /tmp artifact the query reads — the corpus replay pattern
+        # one level up)
+        "paragraph_dedup_extracted":
+            prep.paragraph_dedup_extracted_sql("/root/testdata/sf0.01"),
+        "neardup_clusters":
+            dedup.neardup_clusters_sql("/root/testdata/sf0.01"),
+        "cluster_keep_best":
+            dedup.cluster_keep_best_sql("/root/testdata/sf0.01"),
     }

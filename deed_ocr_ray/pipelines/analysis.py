@@ -28,6 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
+from ..sources.pages import read_pq
 
 # Coarse shuffle width: enough partitions that one partition's rows fit
 # a worker heap at corpus scale, few enough that per-partition overhead
@@ -73,7 +74,7 @@ def q_dup_ngram_coverage(sf_dir: str, n: int = 5, min_count: int = 2) -> "ray.da
     Columns: doc_id, n_tokens, n_dup_tokens, dup_frac.
     """
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
@@ -205,7 +206,7 @@ def q_tfidf_topk(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
     Columns: doc_id, term, tf, df, score, rk.
     """
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     n_docs = ds.count()
 
@@ -308,7 +309,7 @@ def q_event_gaps(sf_dir: str) -> "ray.data.Dataset":
     ambiguity). Columns: event_id, user_id, gap_us.
     """
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_pq(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts"])
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -475,7 +476,7 @@ def q_corr_qty_discount(sf_dir: str) -> "ray.data.Dataset":
     Columns: n, sx, sy, sxx, syy, sxy, corr_xy.
     """
 
-    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = read_pq(f"{sf_dir}/lineitem.parquet",
                                columns=["l_quantity", "l_discount"])
 
     def moments(t: pa.Table) -> pa.Table:
@@ -533,7 +534,7 @@ def q_retention(sf_dir: str, horizon: int = RETENTION_DAYS) -> "ray.data.Dataset
     Columns: day, n_active, n_retained.
     """
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_pq(f"{sf_dir}/events.parquet",
                                columns=["ts", "user_id"])
 
     def pairs(t: pa.Table) -> pa.Table:
@@ -612,7 +613,7 @@ def q_quantity_percentiles(sf_dir: str) -> "ray.data.Dataset":
     Columns: n, p25, p50, p75, p90.
     """
 
-    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = read_pq(f"{sf_dir}/lineitem.parquet",
                                columns=["l_quantity"])
 
     def counts(t: pa.Table) -> pa.Table:
@@ -700,7 +701,7 @@ def q_grouped_percentiles(sf_dir: str) -> "ray.data.Dataset":
     keys). Columns: l_returnflag, n, p50, p90.
     """
 
-    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+    ds = read_pq(f"{sf_dir}/lineitem.parquet",
                                columns=["l_returnflag", "l_quantity"])
 
     def counts(t: pa.Table) -> pa.Table:
@@ -778,7 +779,7 @@ def q_price_deciles(sf_dir: str, k: int = NTILE_K) -> "ray.data.Dataset":
     bit-exact. Columns: decile, n, min_cents, max_cents, sum_cents.
     """
 
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = read_pq(f"{sf_dir}/orders.parquet",
                                columns=["o_orderkey", "o_totalprice"])
 
     def to_cents(t: pa.Table) -> pa.Table:
@@ -897,7 +898,7 @@ def q_lang_pivot(sf_dir: str) -> "ray.data.Dataset":
     Columns: source, de, en, es, fr, zh, total.
     """
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["source", "lang"])
 
     def crosstab(t: pa.Table) -> pa.Table:
@@ -994,7 +995,7 @@ def q_token_rarity(sf_dir: str, rare_max: int = RARE_MAX) -> "ray.data.Dataset":
     Columns: doc_id, n_tokens, rarity_mass, n_rare.
     """
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
@@ -1088,7 +1089,7 @@ def q_remove_dup_ngrams(sf_dir: str, n: int = 5, min_count: int = 2) -> "ray.dat
     """
     from .dedup import _coalesce_for_join, _join_parts_for
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
@@ -1247,7 +1248,7 @@ def q_lm_score(sf_dir: str) -> "ray.data.Dataset":
     Columns: doc_id, n_bigrams, c_sum, lm_score.
     """
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
@@ -1357,7 +1358,7 @@ def q_value_outliers(sf_dir: str) -> "ray.data.Dataset":
     Columns: event_id, event_type, cents."""
     import math
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_pq(f"{sf_dir}/events.parquet",
                                columns=["event_id", "event_type", "value"])
 
     def slim(t: pa.Table) -> pa.Table:

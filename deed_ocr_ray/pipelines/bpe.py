@@ -34,6 +34,7 @@ from typing import Dict, List, Tuple
 import pyarrow as pa
 import ray
 import ray.data
+from ..sources.pages import read_pq
 
 END = "</w>"  # end-of-word marker (Sennrich convention)
 
@@ -103,7 +104,7 @@ def bpe_encode_word(word: str, ranks: Dict[Tuple[str, str], int]) -> List[str]:
 def distributed_word_counts(sf_dir: str) -> "ray.data.Dataset":
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
         c: collections.Counter = collections.Counter()
@@ -195,6 +196,6 @@ def q_bpe_tokenize(sf_dir: str) -> "ray.data.Dataset":
     ranks = {m: i for i, m in enumerate(merges)}
     ref = ray.put(ranks)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return ds.map_batches(BpeTokenizer(ref), batch_format="pyarrow")

@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Sum
+from ..sources.pages import read_pq
 
 # ------------------------------------------------- stratified hash split
 
@@ -41,7 +42,7 @@ def q_stratified_split(sf_dir: str, test_pct: int = 5, val_pct: int = 5) -> "ray
     needs (stable under re-runs, insensitive to row order, no RNG
     state). Stateless map, no shuffle.
     Columns: doc_id, bucket, split."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def assign(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
@@ -81,7 +82,7 @@ def q_split_stats(sf_dir: str, test_pct: int = 5, val_pct: int = 5) -> "ray.data
     hash split is across language strata. Partial counts inside each
     batch, then a slim (lang, split, n) groupby.
     Columns: lang, split, n_docs."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -146,7 +147,7 @@ def q_pii_redact(sf_dir: str) -> "ray.data.Dataset":
     what the hash verifies). One vectorized map, no shuffle; at corpus
     scale this is a pre-release compliance pass.
     Columns: doc_id, n_emails, n_phones, clean_text."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def scrub(t: pa.Table) -> pa.Table:
@@ -216,7 +217,7 @@ def q_domain_stats(sf_dir: str) -> "ray.data.Dataset":
     oracle). Per-batch partials shrink the exchange to one row per
     (domain, batch); text column is never read (``n_chars`` is in the
     table). Columns: domain, n_docs, total_chars, avg_chars."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["source", "n_chars"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -271,7 +272,7 @@ def q_length_histogram(sf_dir: str) -> "ray.data.Dataset":
     Integer-exact bucketing (bit_length, no float log); per-batch
     partials, slim groupby. Columns: bucket, lo_chars, hi_chars,
     n_docs, total_chars."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["n_chars"])
 
     def partial(t: pa.Table) -> pa.Table:
         counts: dict = {}
@@ -330,7 +331,7 @@ def q_term_stats(sf_dir: str, min_len: int = 7, k: int = 50) -> "ray.data.Datase
     row, so per-batch (term, doc) rows are globally distinct: df is a
     Count and tf a Sum after ONE slim groupby.
     Columns: term, df, tf, n_docs."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     n_docs = ds.count()
 
@@ -400,7 +401,7 @@ def q_stratified_sample(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     Columns: lang, doc_id, h, rk.
     """
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang"])
 
     def local_topk(t: pa.Table) -> pa.Table:
@@ -482,7 +483,7 @@ def q_source_mixture(sf_dir: str) -> "ray.data.Dataset":
     Columns: doc_id, source, bucket, weight_pct.
     """
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "source"])
 
     distinct = (
@@ -548,7 +549,7 @@ def q_token_budget(sf_dir: str, budget: int = TOKEN_BUDGET) -> "ray.data.Dataset
     Columns: doc_id, words, punct_ppm, cum_tokens.
     """
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def measure(t: pa.Table) -> pa.Table:
@@ -670,7 +671,7 @@ def q_decontaminate(sf_dir: str, n: int = DECON_N,
     n_overlap (distinct grams also in the benchmark), contaminated.
     """
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def bench_grams(t: pa.Table) -> pa.Table:
@@ -783,7 +784,7 @@ def q_snapshot_diff(sf_dir: str) -> "ray.data.Dataset":
     import pyarrow.compute as pc
     from ray.data.aggregate import Max
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def emit_sides(t: pa.Table) -> pa.Table:
@@ -865,7 +866,7 @@ def q_delta_apply(sf_dir: str) -> "ray.data.Dataset":
     import numpy as np
     import pandas as pd
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     n_parts = 64
 

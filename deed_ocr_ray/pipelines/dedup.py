@@ -37,6 +37,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
+from ..sources.pages import read_pq
 
 # ------------------------------------------------------------- exact dedup
 
@@ -44,7 +45,7 @@ def q_exact_dedup(sf_dir: str) -> "ray.data.Dataset":
     """Exact-duplicate groups by md5(text): representative = min doc_id
     (cross-row D1: first-occurrence-wins under a deterministic order).
     Columns: fp, rep_doc_id, n_copies."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fp(t: pa.Table) -> pa.Table:
         hashes = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
@@ -141,7 +142,7 @@ def minhash_sigs(sf_dir: str) -> "ray.data.Dataset":
     Stays a Dataset end-to-end — blocks live in the object store (and
     spill), NEVER on the driver; the sf-independent building block for
     LSH banding and join-based candidate verification."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(_sig_table, batch_format="pyarrow")
 
 
@@ -333,6 +334,95 @@ def q_minhash_pairs(sf_dir: str, min_est: float = 0.5) -> "ray.data.Dataset":
     )
 
 
+MINHASH_CKPT_VERSION = 1
+
+
+def minhash_pairs_ckpt_for(sf_dir: str, min_est: float = 0.5) -> str:
+    """Near-dup pair-list CHECKPOINT parquet for the sf corpus
+    (cached under /tmp, the :func:`corpus.pages_corpus_for`
+    cache-and-replay pattern): the clustering/keeper stages consume
+    the dedup job's verified pair output — on a cluster they read its
+    checkpointed parquet, not a re-run of the sketch scan — and their
+    DuckDB oracles replay connected components over the same
+    artifact."""
+    import os
+
+    from .corpus import CACHE_ROOT
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(
+        CACHE_ROOT,
+        f"{name}_minhash_pairs_m{int(min_est * 1000)}_v{MINHASH_CKPT_VERSION}",
+    )
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    import shutil
+
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    q_minhash_pairs(sf_dir, min_est=min_est).write_parquet(out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _cc_label_ctes(pairs_glob: str, iters: int = 12) -> str:
+    """Unrolled min-label-propagation CTEs over a (doc_a, doc_b) pair
+    list — the DuckDB replay of :func:`q_neardup_clusters`' distributed
+    loop (identical recurrence ``l_{k+1}(n) = min(l_k(n), min_{m in
+    N(n)} l_k(m))``, same initial fold ``l_0 = min(node, min
+    neighbour)``, same ``iters`` cap — so the result matches the
+    operator bit-for-bit, converged or capped)."""
+    ctes = [f"""edges AS MATERIALIZED (
+  SELECT doc_a AS node, doc_b AS nbr FROM read_parquet('{pairs_glob}')
+  UNION ALL
+  SELECT doc_b AS node, doc_a AS nbr FROM read_parquet('{pairs_glob}')
+),
+l0 AS MATERIALIZED (
+  SELECT node, LEAST(node, MIN(nbr)) AS label FROM edges GROUP BY node
+)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""l{k} AS MATERIALIZED (
+  SELECT l.node, LEAST(l.label, MIN(n.label)) AS label
+  FROM l{k - 1} l
+  JOIN edges e ON e.node = l.node
+  JOIN l{k - 1} n ON n.node = e.nbr
+  GROUP BY l.node, l.label
+)""")
+    return ",\n".join(ctes)
+
+
+def neardup_clusters_sql(sf_dir: str, min_est: float = 0.5,
+                         iters: int = 12) -> str:
+    """DuckDB replay of :func:`q_neardup_clusters` over the pair-list
+    checkpoint parquet."""
+    pairs_glob = minhash_pairs_ckpt_for(sf_dir, min_est) + "/*.parquet"
+    return f"""
+WITH {_cc_label_ctes(pairs_glob, iters)}
+SELECT node AS doc_id, label AS rep_id FROM l{iters}
+"""
+
+
+def cluster_keep_best_sql(sf_dir: str, min_est: float = 0.5,
+                          iters: int = 12) -> str:
+    """DuckDB replay of :func:`q_cluster_keep_best`: components from
+    the pair-list checkpoint, keeper = longest doc (ties: min doc_id)
+    per component."""
+    pairs_glob = minhash_pairs_ckpt_for(sf_dir, min_est) + "/*.parquet"
+    return f"""
+WITH {_cc_label_ctes(pairs_glob, iters)},
+cc AS (SELECT node AS doc_id, label AS rep_id FROM l{iters}),
+ranked AS (
+  SELECT cc.doc_id, cc.rep_id, d.n_chars,
+         row_number() OVER (PARTITION BY cc.rep_id
+                            ORDER BY d.n_chars DESC, cc.doc_id ASC) AS rn
+  FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+)
+SELECT doc_id, rep_id, n_chars, rn = 1 AS keep FROM ranked
+"""
+
+
 def _overflow_summary(over: "ray.data.Dataset", count_col: str) -> "ray.data.Dataset":
     """Collapse overflow sentinel rows ``(doc_a=-1, doc_b=size,
     count_col=count of buckets with that size)`` into the one-row
@@ -473,7 +563,7 @@ def _simhash_fn(t: pa.Table) -> pa.Table:
 def q_simhash(sf_dir: str) -> "ray.data.Dataset":
     """Per-doc 64-bit SimHash (as int64, two's complement).
     Columns: doc_id, simhash. (No SQL oracle: sketch-based.)"""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(_simhash_fn, batch_format="pyarrow")
 
 
@@ -515,7 +605,7 @@ def _simhash_candidates(
     ``(doc_a=-1, doc_b=bucket_size, hamming=0)``. The pair-dedup
     groupby's Count doubles as the per-size overflow-bucket count
     (``n_buckets``), mirroring ``_candidate_pairs``."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def pairs(g: pd.DataFrame) -> pa.Table:
         # coarse-partition group; resolve exact buckets vectorized
@@ -589,7 +679,7 @@ def q_jaccard_adjacent(sf_dir: str) -> "ray.data.Dataset":
     """Char-set Jaccard between each doc and doc_id+1 via a
     hash-partitioned ``Dataset.join`` (the both-sides-large join path).
     Columns: doc_id, jacc."""
-    left = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    left = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     right = left.map_batches(
         lambda t: pa.table({
             "next_id": pa.compute.add(t["doc_id"], 1),
@@ -665,7 +755,7 @@ def q_hll_users(sf_dir: str) -> "ray.data.Dataset":
     (``tests/test_ops.py``), not inside the operator.
     Columns: estimate, nonzero_registers, n_registers. (No SQL oracle:
     sketch.)"""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["user_id"])
 
     def sketch(t: pa.Table) -> pa.Table:
         regs = _hll_registers(t["user_id"].to_numpy().astype(np.uint64))
@@ -716,7 +806,7 @@ def q_minhash_validate(sf_dir: str) -> "ray.data.Dataset":
             _EMPTY_PAIRS.append_column(
                 "exact_jaccard", pa.array([], type=pa.float64()))
         )
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     # materialized for the same reason as the sig table in
     # q_minhash_pairs: two join sides, one text scan
     sh = ds.map_batches(_shingle_table, batch_format="pyarrow").materialize()
@@ -769,12 +859,16 @@ def q_neardup_clusters(
     DIAMETER bounds the needed sweeps; near-dup clusters are dense, so
     a handful suffices — and the cap is observable via the
     ``converged`` column). Columns: doc_id, rep_id.
-    (No SQL oracle: input pairs are sketch-derived; the component
-    semantics are pytest-verified against an in-process union-find.)"""
-    pairs = q_minhash_pairs(sf_dir, min_est=min_est)
-    pairs = pairs.map_batches(
-        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
-    ).materialize()
+
+    Input is the verified pair list's CHECKPOINT parquet
+    (:func:`minhash_pairs_ckpt_for` — the clustering job reads the
+    dedup job's checkpointed output), which also gives this entry a
+    value-hash DuckDB oracle (``neardup_clusters_sql``: the identical
+    min-label recurrence unrolled over the same artifact; component
+    semantics additionally pytest-verified against an in-process
+    union-find)."""
+    pairs = read_pq(minhash_pairs_ckpt_for(sf_dir, min_est),
+                    columns=["doc_a", "doc_b"]).materialize()
     if pairs.count() == 0:
         return ray.data.from_arrow(_EMPTY_CLUSTERS)
 
@@ -866,7 +960,7 @@ def q_cluster_keep_best(sf_dir: str, min_est: float = 0.5) -> "ray.data.Dataset"
     if n_cl == 0:
         return ray.data.from_arrow(_EMPTY_KEEP)
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    docs = read_pq(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "n_chars"])
     joined = clusters.join(docs, join_type="inner",
                            num_partitions=_join_parts_for(n_cl),

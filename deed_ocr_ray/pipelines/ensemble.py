@@ -26,6 +26,7 @@ from typing import Callable, List, Optional, Tuple
 
 import pyarrow as pa
 import ray.data
+from ..sources.pages import read_pq
 
 # provider: text -> (extracted_candidate, confidence). Total functions;
 # failure absorption is exercised via inject_failure in tests.
@@ -100,7 +101,7 @@ class EnsembleScorer:
 def q_ensemble_extract(sf_dir: str) -> "ray.data.Dataset":
     """Ensemble-consensus extraction over documents.
     Columns: doc_id, winner, confidence, extracted, status."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(EnsembleScorer, batch_format="pyarrow", concurrency=(1, 8))
 
 

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from ..sources.pages import find_shards
+from ..sources.pages import find_shards, read_pq
 from ..stages.extract import Extractor
 from ..state.manifest import (
     PartitionManifest,
@@ -204,7 +204,7 @@ def _run_extract_inner(
     for wave in waves:
         wave_t0 = time.perf_counter()
         path_to_part = {f: pid for pid in wave for f in parts[pid]}
-        ds = ray.data.read_parquet(sorted(path_to_part), include_paths=True)
+        ds = read_pq(sorted(path_to_part), include_paths=True)
         ds = extract_dataset(
             ds,
             path_to_part=path_to_part,
@@ -274,7 +274,7 @@ def _part_stats(pdir: str) -> Dict[str, Any]:
 
 def read_extracted(out_dir: str, columns: Optional[List[str]] = None) -> "ray.data.Dataset":
     """Read the (hive-partitioned) extracted output back as a Dataset."""
-    return ray.data.read_parquet(out_dir, columns=columns)
+    return read_pq(out_dir, columns=columns)
 
 
 def export_extracted(out_dir: str, dest: str, fmt: str = "json") -> int:
@@ -311,7 +311,7 @@ def export_extracted(out_dir: str, dest: str, fmt: str = "json") -> int:
         ds.map_batches(flatten, batch_format="pyarrow").write_csv(dest)
     else:
         raise ValueError(f"unknown export format {fmt!r}")
-    return ray.data.read_parquet(out_dir, columns=["status"]).count()
+    return read_pq(out_dir, columns=["status"]).count()
 
 
 def dump_page_debug(input_path: Union[str, Sequence[str]], dest: str) -> Dict[str, Any]:
@@ -335,7 +335,7 @@ def dump_page_debug(input_path: Union[str, Sequence[str]], dest: str) -> Dict[st
     if not shards:
         raise FileNotFoundError(f"no input shards under {input_path!r}")
     os.makedirs(dest, exist_ok=True)
-    ds = ray.data.read_parquet(shards, columns=["url", "html"])
+    ds = read_pq(shards, columns=["url", "html"])
 
     def dump(t: "pa.Table") -> "pa.Table":
         n_docs = n_pages = 0

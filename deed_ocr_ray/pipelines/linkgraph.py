@@ -651,15 +651,16 @@ def q_doc_authority(sf_dir: str) -> "ray.data.Dataset":
     the unrolled-CTE PageRank) hashes exactly."""
     import ray as _ray
 
-    from ..sources.pages import read_pages
-    from .extract_pipeline import extract_dataset
+    from ..sources.pages import read_pq
+    from .corpus import extracted_corpus_for
 
     ranks = {r["host"]: r["rank"] for r in q_pagerank(sf_dir).take_all()}
     ranks_ref = _ray.put(ranks)  # broadcast once, read per worker
 
-    corpus = pages_corpus_for(sf_dir)
-    docs = extract_dataset(read_pages(corpus)).select_columns(
-        ["url", "warc_ts", "status"])
+    # extraction CHECKPOINT parquet (downstream jobs read the
+    # extraction run's output, they don't re-run the extractor)
+    docs = read_pq(extracted_corpus_for(sf_dir),
+                   columns=["url", "warc_ts", "status"])
 
     # task-pool stage, NOT a second actor pool: the extraction stage
     # already holds a prestarted fractional-CPU pool, and a second pool

@@ -38,6 +38,7 @@ from ..functions.imagecodec import (
 )
 from ..functions.jpegcodec import JPEG_MAGIC, decode_jpeg, jpeg_info
 from ..functions.wavcodec import WAV_MAGIC, audio_features, decode_wav, wav_info
+from ..sources.pages import read_pq
 
 # For audio payloads the image-shaped fields carry (width := n_samples,
 # height := channels); n_frames stays 1.
@@ -247,7 +248,7 @@ def q_media_pipeline(sf_dir: str) -> "ray.data.Dataset":
     in for an undecodable column; decode (fake for unknown formats)
     then frame-sample. Columns: doc_id, frame_idx, frame_key.
     (No SQL oracle: stubbed decode for unknown formats.)"""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = ds.map_batches(
         lambda t: pa.table({
             "doc_id": t["doc_id"],
@@ -268,7 +269,7 @@ def q_image_features(sf_dir: str) -> "ray.data.Dataset":
     features, all in actor-pool stages with small batches (fat-row
     guidance). Columns: doc_id, width, height, mean_r, mean_g, mean_b,
     std, entropy. (No SQL oracle: pixel math not expressible in SQL.)"""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def make_payloads(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -340,7 +341,7 @@ def q_audio_features(sf_dir: str) -> "ray.data.Dataset":
     sample_rate, duration_s, rms, zcr, centroid_hz. (No SQL oracle:
     FFT math not expressible in SQL; exactness vs a local decode is
     asserted in tests.)"""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def make_payloads(t: pa.Table) -> pa.Table:
         return pa.table({

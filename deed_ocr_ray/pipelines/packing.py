@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
+from ..sources.pages import read_pq
 
 WINDOW_TOKENS = 512
 
@@ -35,7 +36,7 @@ def q_pack_windows(sf_dir: str) -> "ray.data.Dataset":
     each doc gets its global token start offset and a window id
     (start_tok // WINDOW_TOKENS — contiguous-fill semantics).
     Columns: doc_id, n_tokens, start_tok, window_id."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def count(t: pa.Table) -> pa.Table:
         toks = [len(x.split()) for x in t["text"].to_pylist()]
@@ -127,7 +128,7 @@ def q_kmeans(sf_dir: str) -> "ray.data.Dataset":
     rows-only check.)"""
     from .similarity import head_rows_by_key
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_pq(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
     # deterministic init: the k lowest vec_ids, selected distributed
@@ -207,7 +208,7 @@ def q_chunk_windows(sf_dir: str, chunk: int = CHUNK_TOKENS,
     stride = chunk - overlap
     if stride <= 0:
         raise ValueError("overlap must be smaller than chunk")
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
@@ -285,7 +286,7 @@ def q_seeded_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED) -> "ray.data.Dataset
     """
     import hashlib
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def key(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
@@ -400,7 +401,7 @@ def q_interleave_sources(sf_dir: str, seed: int = SHUFFLE_SEED) -> "ray.data.Dat
     """
     import hashlib
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "source"])
 
     def key(t: pa.Table) -> pa.Table:

@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..sources.pages import read_pq
 from .corpus import pages_corpus_for
 from .extract_pipeline import extract_dataset
 from ..sources.pages import read_pages
@@ -35,9 +36,14 @@ def q_training_prep(sf_dir: str) -> "ray.data.Dataset":
     """Full prep chain over the synthesized pages corpus. Returns one
     row per surviving document: url, warc_ts, n_tokens, start_tok,
     window_id. (No SQL oracle: extraction is not SQL-expressible; the
-    downstream stages are oracle-checked individually.)"""
-    corpus = pages_corpus_for(sf_dir)
-    extracted = extract_dataset(read_pages(corpus))
+    downstream stages are oracle-checked individually.)
+    Reads the extraction checkpoint parquet — downstream jobs consume
+    the extraction run's checkpointed output, not a re-extraction."""
+    from .corpus import extracted_corpus_for
+
+    extracted = read_pq(extracted_corpus_for(sf_dir),
+                        columns=["url", "warc_ts", "status",
+                                 "extracted_text"])
 
     # ok rows -> (part, fp, url, warc_ts, n_tokens): fingerprint + token
     # count computed in the SAME pass; only slim columns continue.
@@ -220,13 +226,59 @@ def q_paragraph_dedup_extracted(sf_dir: str) -> "ray.data.Dataset":
     Columns: url, warc_ts, clean_text, n_blocks, n_dropped.
     Doc identity is (url, warc_ts): the corpus carries duplicate urls
     with distinct capture timestamps by design.
-    (No SQL oracle for THIS entry: extraction is not SQL-replayable;
-    exactness is pinned by the recount-parity pytest, and the shared
-    ``paragraph_dedup_dataset`` operator is value-hash-checked through
-    the WET-input ``q_paragraph_dedup`` entry.)"""
-    corpus = pages_corpus_for(sf_dir)
-    extracted = extract_dataset(read_pages(corpus))
+
+    Input is the extraction CHECKPOINT parquet
+    (:func:`corpus.extracted_corpus_for` — downstream jobs read the
+    extraction run's checkpointed output, they don't re-run the
+    extractor), which also gives this entry a value-hash DuckDB
+    oracle: ``paragraph_dedup_extracted_sql`` replays the dedup over
+    the same checkpoint."""
+    from .corpus import extracted_corpus_for
+
+    ckpt = extracted_corpus_for(sf_dir)
+    extracted = read_pq(ckpt, columns=["url", "warc_ts", "status",
+                                       "extracted_text"])
     return paragraph_dedup_dataset(extracted)
+
+
+def paragraph_dedup_extracted_sql(sf_dir: str) -> str:
+    """DuckDB replay of :func:`q_paragraph_dedup_extracted` over the
+    extraction checkpoint parquet (same artifact the query reads —
+    the :func:`pages_corpus_for` cache-and-replay pattern one level
+    up). Verifies the full dedup/reassembly stage on the real
+    extracted text; extraction itself is pinned by the frozen-golden
+    byte-identity pytests."""
+    from .corpus import extracted_corpus_for
+
+    ckpt = extracted_corpus_for(sf_dir)
+    nl2 = "chr(10)||chr(10)"
+    return f"""
+WITH docs AS (
+  SELECT url, warc_ts, string_split(extracted_text, {nl2}) AS blks
+  FROM read_parquet('{ckpt}/*.parquet')
+  WHERE status = 'ok' AND extracted_text <> ''
+),
+blocks AS (
+  SELECT url, warc_ts,
+         unnest(blks) AS blk,
+         generate_subscripts(blks, 1) - 1 AS idx,
+         len(blks) AS tot
+  FROM docs
+),
+kept AS (
+  SELECT * FROM (
+    SELECT url, warc_ts, blk, idx, tot,
+           row_number() OVER (PARTITION BY blk
+                              ORDER BY url, warc_ts, idx) AS rn
+    FROM blocks
+  ) WHERE rn = 1
+)
+SELECT url, warc_ts,
+       string_agg(blk, {nl2} ORDER BY idx) AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(any_value(tot) - count(*) AS BIGINT) AS n_dropped
+FROM kept GROUP BY url, warc_ts
+"""
 
 
 def _para_shuffle_parts(n_docs: int) -> int:

@@ -32,6 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
+from ..sources.pages import read_pq
 
 
 def _cents(arr: pa.ChunkedArray) -> pa.ChunkedArray:
@@ -47,7 +48,7 @@ def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     Columns: l_returnflag, l_linestatus, sum_qty, sum_base_price,
     sum_disc_price, avg_qty, count_order.
     """
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"],
@@ -113,7 +114,7 @@ def q6_revenue_filter(sf_dir: str) -> "ray.data.Dataset":
     # predicate pushdown to the scan: row groups whose stats exclude the
     # range never leave storage ("prune at the read"); the in-batch mask
     # below stays as the correctness-independent belt-and-suspenders.
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_quantity", "l_extendedprice", "l_discount"],
         filter=(
@@ -155,7 +156,7 @@ WHERE l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 10
 def q_topk_orders(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
     """Global sort + limit (top-k). Columns: o_orderkey, o_custkey,
     o_totalprice_cents. Deterministic tie-break on o_orderkey."""
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
     )
     ds = ds.map_batches(
@@ -253,7 +254,7 @@ def attach_dim(
 
         return fact.map_batches(add, batch_format="pyarrow")
 
-    dim = ray.data.read_parquet(spec.path, columns=spec.columns).map_batches(
+    dim = read_pq(spec.path, columns=spec.columns).map_batches(
         spec.transform, batch_format="pyarrow")
     if coalesce:
         fact, n_fact = _coalesce_for_join(fact)
@@ -271,7 +272,7 @@ def _orders_slim(sf_dir: str) -> "ray.data.Dataset":
     path needs no exchange at all, and the join path moves the slim
     fact through ONE exchange (a per-custkey groupby first would add a
     second full exchange for at best a ~10x row shrink)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+    ds = read_pq(f"{sf_dir}/orders.parquet",
                                columns=["o_custkey", "o_totalprice"])
     return ds.map_batches(
         lambda t: pa.table({"o_custkey": t["o_custkey"],
@@ -394,7 +395,7 @@ def q_events_hourly(sf_dir: str) -> "ray.data.Dataset":
 
     Columns: event_type, window_start, n_events, sum_value_c.
     """
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_pq(f"{sf_dir}/events.parquet",
                                columns=["event_type", "ts", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -434,7 +435,7 @@ def q_lang_source_stats(sf_dir: str) -> pd.DataFrame:
 
     Columns: lang, n_docs, n_sources, sum_chars.
     """
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["lang", "source", "n_chars"])
     per_lang = ds.groupby("lang").aggregate(
         Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
@@ -479,7 +480,7 @@ def _lineitem_slim(sf_dir: str) -> "ray.data.Dataset":
     """(l_partkey, l_suppkey, rev-cents) projection of lineitem.
     revenue cents = floor(ep*(1-disc)*100 + 0.5): same IEEE double
     expression as the oracles -> bit-identical integers."""
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
@@ -601,7 +602,7 @@ def q3_shipping_priority(
                          "seg": pa.array([Q3_SEGMENT] * t.num_rows,
                                          type=pa.string())})
 
-    orders = ray.data.read_parquet(
+    orders = read_pq(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
         filter=pads.field("o_orderdate") < pads.scalar(date),
@@ -621,7 +622,7 @@ def q3_shipping_priority(
         fact_rows=_parquet_rows(f"{sf_dir}/orders.parquet"),
     ).drop_columns(["o_custkey", "seg"])
 
-    li = ray.data.read_parquet(
+    li = read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=pads.field("l_shipdate") > pads.scalar(date),
@@ -695,7 +696,7 @@ def q_daily_active_users(sf_dir: str) -> "ray.data.Dataset":
     Columns: day, dau, n_events."""
     import pandas as pd
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    ds = read_pq(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
 
     def pairs(t: pa.Table) -> pa.Table:
         df = pd.DataFrame({

@@ -23,9 +23,27 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+from ..sources.pages import read_pq
 
 K_NEIGHBORS = 10
 N_QUERIES = 5
+
+
+def _emb_matrix(col) -> np.ndarray:
+    """(n, d) float64 matrix from a ``list<float>`` column.
+    ``list_flatten`` + ``to_numpy`` is zero-copy off the Arrow buffer;
+    the only copy is the float32->float64 cast the math needs (exact,
+    so results are unchanged vs the old ``to_pylist`` path)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    flat = pc.list_flatten(col)
+    d = len(flat) // n
+    return flat.to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, d)
 
 
 def head_rows_by_key(ds: "ray.data.Dataset", key: str, n: int) -> pd.DataFrame:
@@ -45,7 +63,7 @@ def head_rows_by_key(ds: "ray.data.Dataset", key: str, n: int) -> pd.DataFrame:
 def _load_queries(sf_dir: str, n: int = N_QUERIES) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """First ``n`` vectors by vec_id as the query set (deterministic),
     selected distributed via :func:`head_rows_by_key`."""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_pq(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding", "label"])
     df = head_rows_by_key(ds, "vec_id", n)
     q = np.array(df["embedding"].tolist(), dtype=np.float64)
@@ -94,8 +112,8 @@ class TopKScorer:
         self.exclude_self = exclude_self
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        vec_ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        vec_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _emb_matrix(t["embedding"])
         cos = _cosine_block(self.q, m)
         out_q: List[int] = []
         out_n: List[int] = []
@@ -128,7 +146,7 @@ def q_knn_cosine(sf_dir: str) -> "ray.data.Dataset":
     """Exact brute-force cosine top-10 for the first 5 vec_ids.
     Columns: query_id, neighbor_id, cos."""
     q, qid, _ = _load_queries(sf_dir)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     local = ds.map_batches(
         TopKScorer(queries=q, query_ids=qid, k=K_NEIGHBORS),
         batch_format="pyarrow",
@@ -162,7 +180,7 @@ def q_knn_ivf(sf_dir: str) -> "ray.data.Dataset":
     shuffle-free path: partitions are read selectively instead of
     scanning the corpus. Columns: query_id, neighbor_id, cos."""
     q, qid, qlab = _load_queries(sf_dir)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_pq(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding", "label"])
 
     class IvfScorer(TopKScorer):
@@ -171,9 +189,9 @@ def q_knn_ivf(sf_dir: str) -> "ray.data.Dataset":
             self.qlab = qlab
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            labels = np.asarray(t["label"].to_pylist(), dtype=np.int64)
-            vec_ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-            m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+            labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            vec_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _emb_matrix(t["embedding"])
             out_q, out_n, out_c = [], [], []
             for i, (qid_i, ql) in enumerate(zip(self.qid, self.qlab)):
                 sel = np.where((labels == ql) & (vec_ids != qid_i))[0]
@@ -237,7 +255,7 @@ def q_knn_lsh(sf_dir: str) -> "ray.data.Dataset":
     Columns: query_id, neighbor_id, cos."""
     q, qid, _ = _load_queries(sf_dir)
     qb = _lsh_bucket(q)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_pq(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
 
     class LshScorer(TopKScorer):
@@ -246,8 +264,8 @@ def q_knn_lsh(sf_dir: str) -> "ray.data.Dataset":
             self.qb = qb
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            vec_ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-            m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+            vec_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _emb_matrix(t["embedding"])
             mb = _lsh_bucket(m) if m.size else np.zeros(0, dtype=np.int64)
             out_q, out_n, out_c = [], [], []
             for i, (qid_i, qb_i) in enumerate(zip(self.qid, self.qb)):
@@ -326,7 +344,7 @@ def q_embedding_neardup(
     work is observable, never silent.
     Columns: label, vec_a, vec_b, cos, is_above_threshold.
     (No SQL oracle: blocked heuristic recall.)"""
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_pq(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding", "label"])
 
     def _empty() -> pd.DataFrame:
@@ -415,11 +433,11 @@ def pca_fit(sf_dir: str, k: int = PCA_COMPONENTS):
 
     Returns (mean, components[k, d], explained_variance_ratio[k]).
     """
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_pq(f"{sf_dir}/embeddings.parquet",
                                columns=["embedding"])
 
     def partials(t: pa.Table) -> pa.Table:
-        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m = _emb_matrix(t["embedding"])
         if m.size == 0:
             m = np.zeros((0, 1))
         return pa.table({
@@ -466,12 +484,12 @@ def q_pca_project(sf_dir: str, k: int = PCA_COMPONENTS) -> "ray.data.Dataset":
     mean, comps, _ = pca_fit(sf_dir, k)
     ref = ray.put((mean, comps))
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+    ds = read_pq(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "label", "embedding"])
 
     def project(t: pa.Table) -> pa.Table:
         mu, c = ray.get(ref)
-        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        m = _emb_matrix(t["embedding"])
         proj = (m - mu) @ c.T if m.size else np.zeros((0, c.shape[0]))
         cols = {"vec_id": t["vec_id"], "label": t["label"]}
         for i in range(c.shape[0]):

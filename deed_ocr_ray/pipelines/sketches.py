@@ -31,6 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
+from ..sources.pages import read_pq
 
 # ----------------------------------------------------------- bloom core
 
@@ -115,7 +116,7 @@ def q_bloom_semijoin(sf_dir: str, thr: float = SEMI_PRICE_THR) -> "ray.data.Data
 
     import ray as _ray
 
-    keys_ds = ray.data.read_parquet(
+    keys_ds = read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
 
     def partial_bloom(t: pa.Table) -> pa.Table:
@@ -167,7 +168,7 @@ def q_bloom_semijoin(sf_dir: str, thr: float = SEMI_PRICE_THR) -> "ray.data.Data
             "part": pa.array((k % _SEMI_PARTS).astype(np.int32), type=pa.int32()),
         })
 
-    fact = ray.data.read_parquet(
+    fact = read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_extendedprice"])
     survivors = fact.map_batches(
@@ -257,7 +258,7 @@ def q_heavy_hitters(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
 
     import collections
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
         c: collections.Counter = collections.Counter()
@@ -319,7 +320,7 @@ def q_dau_hll(sf_dir: str) -> "ray.data.Dataset":
 
     from deed_ocr_ray.pipelines.dedup import _hll_registers, hll_estimate
 
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+    ds = read_pq(f"{sf_dir}/events.parquet",
                                columns=["ts", "user_id"])
 
     def partial(t: pa.Table) -> pa.Table:

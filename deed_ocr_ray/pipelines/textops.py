@@ -23,6 +23,7 @@ import ray.data
 
 from ..functions.normalize import normalize_text
 from ..functions.stopwords import STOPWORDS
+from ..sources.pages import read_pq
 
 _PUNCT_RE = re.compile(r"[.!?,;:]")
 _LANGS = sorted(STOPWORDS)  # deterministic candidate order
@@ -31,7 +32,7 @@ _LANGS = sorted(STOPWORDS)  # deterministic candidate order
 def q_doc_normalize(sf_dir: str) -> "ray.data.Dataset":
     """Per-doc normalization (the M8 contract applied corpus-wide).
     Columns: doc_id, norm_text, norm_chars."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         norm = [normalize_text(x) for x in t["text"].to_pylist()]
@@ -77,7 +78,7 @@ def _ws_token_counts(col: pa.Array) -> "np.ndarray":
 
 def q_token_count(sf_dir: str) -> "ray.data.Dataset":
     """Whitespace token count per doc. Columns: doc_id, n_tokens."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         from ..functions import tokens as tk
@@ -101,7 +102,7 @@ def q_quality_score(sf_dir: str) -> "ray.data.Dataset":
     """Quality signals per doc, integer-exact: char count, word count,
     punctuation parts-per-million, mean word length in milli-chars.
     Columns: doc_id, chars, words, punct_ppm, mean_word_milli."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -145,7 +146,7 @@ FROM documents
 
 def q_fingerprint(sf_dir: str) -> "ray.data.Dataset":
     """Content fingerprint (md5 of text). Columns: doc_id, fp."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         fps = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in t["text"].to_pylist()]
@@ -192,7 +193,7 @@ class LangId:
 def q_lang_id(sf_dir: str) -> "ray.data.Dataset":
     """Heuristic language ID vs the labeled ``lang`` column.
     Columns: doc_id, pred_lang, agrees. (No SQL oracle: heuristic.)"""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
     # task-pool instance: the stopword tables are module constants, so
     # per-task state is trivial (short-stage actor pools pay ~3 s of
@@ -211,7 +212,7 @@ _BPE_PATTERN_SQL = " ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
 def q_token_count_bpe(sf_dir: str) -> "ray.data.Dataset":
     """BPE-style pre-token count per doc (the token-budget estimator a
     training pipeline runs before packing). Columns: doc_id, n_bpe."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         from ..functions import tokens as tk
@@ -270,7 +271,7 @@ def q_fingerprint_rolling(sf_dir: str) -> "ray.data.Dataset":
     fingerprints and the minimum one (stable content signature robust to
     local edits). Columns: doc_id, n_fps, min_fp. (No SQL oracle:
     algorithmic sketch.)"""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         n_fps, min_fp = [], []
@@ -296,7 +297,7 @@ def q_top_terms(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
 
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
         c: collections.Counter = collections.Counter()
@@ -329,7 +330,7 @@ def q_doc_sample(sf_dir: str) -> "ray.data.Dataset":
     deterministic across runs). Columns: doc_id, n_chars."""
     import pyarrow.compute as pc
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "n_chars"])
 
     def fn(t: pa.Table) -> pa.Table:
@@ -363,7 +364,7 @@ def q_line_repetition(sf_dir: str) -> "ray.data.Dataset":
     """Gopher-style repetition signal: duplicate-line counts per doc
     (high duplicate-line fraction flags boilerplate/spam for corpus
     filtering). Columns: doc_id, n_lines, n_dup_lines."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         n_lines, n_dup = _line_dup_counts(t["text"])
@@ -393,7 +394,7 @@ def q_compress_ratio(sf_dir: str) -> "ray.data.Dataset":
     available in SQL; deterministic across runs for a pinned zlib.)"""
     import zlib
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         vals = []
@@ -421,7 +422,7 @@ def q_corpus_filter(sf_dir: str) -> "ray.data.Dataset":
     quality gates (word-count band, duplicate-line fraction, mean word
     length band) — one single-pass map computing every signal at once,
     integer-exact. Columns: doc_id, words, n_dup_lines."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -481,7 +482,7 @@ def q_posting_pairs(sf_dir: str, min_len: int = 6) -> "ray.data.Dataset":
     Columns: term, doc_id."""
     from ray.data.aggregate import Count
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
 
     def pairs(t: pa.Table) -> pa.Table:
@@ -528,7 +529,7 @@ def q_bigram_counts(sf_dir: str, k: int = 50) -> "ray.data.Dataset":
     Columns: bigram, cnt."""
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
         from ..functions import tokens as tk
@@ -583,7 +584,7 @@ def q_url_canon(sf_dir: str) -> "ray.data.Dataset":
     Columns: doc_id, url, canon_url."""
     from ..functions.urlnorm import canonicalize_url
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "source", "lang"])
 
     def canon(t: pa.Table) -> pa.Table:
@@ -661,7 +662,7 @@ def q_canon_dedup(sf_dir: str) -> "ray.data.Dataset":
 
     from ..functions.urlnorm import canonicalize_url
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "source", "lang"])
 
     def canon(t: pa.Table) -> pa.Table:
@@ -753,7 +754,7 @@ def q_vocab_ids(sf_dir: str) -> "ray.data.Dataset":
     import numpy as np
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+    ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:

@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+from ..sources.pages import read_pq
 
 N_PARTS = 64
 
@@ -63,7 +64,7 @@ def q_running_total(sf_dir: str) -> "ray.data.Dataset":
     """Per-customer running order total (cents), window-ordered by
     (o_orderdate, o_orderkey). Columns: o_orderkey, o_custkey,
     running_cents."""
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
@@ -118,7 +119,7 @@ def q_order_rank(sf_dir: str) -> "ray.data.Dataset":
     """Rank of each order within its customer by (o_totalprice desc,
     o_orderkey) — ROW_NUMBER() semantics with a deterministic tiebreak.
     Columns: o_orderkey, o_custkey, rnk."""
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     )
@@ -169,7 +170,7 @@ def q_order_percent_rank(sf_dir: str) -> "ray.data.Dataset":
     high-cardinality keys). Partitioning assumption: one priority
     class fits a partition. Columns: o_orderkey, o_orderpriority,
     pct_rank, cume_dist."""
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
     )
@@ -227,10 +228,10 @@ def q_customers_no_orders(sf_dir: str) -> "ray.data.Dataset":
     the unfiltered variant would be vacuously empty.)"""
     import pyarrow.compute as pc
 
-    cust = ray.data.read_parquet(
+    cust = read_pq(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
-    okeys = ray.data.read_parquet(
+    okeys = read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
@@ -279,11 +280,11 @@ def q_asof_last_ship(sf_dir: str, probe_days: int = ASOF_PROBE_DAYS) -> "ray.dat
     nothing; shipments genuinely interleave with the probe window.)
     Columns: o_orderkey, last_ship_ts, n_shipped."""
     delta = np.timedelta64(probe_days * 86_400_000_000, "us")
-    orders = ray.data.read_parquet(
+    orders = read_pq(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate"],
     )
-    ships = ray.data.read_parquet(
+    ships = read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
     )
 
@@ -375,7 +376,7 @@ def _qdisc(sorted_vals: np.ndarray, q: float) -> int:
 def q_price_quantiles(sf_dir: str) -> "ray.data.Dataset":
     """Discrete p50/p90 of order price (cents) per order priority.
     Columns: o_orderpriority, p50_cents, p90_cents, n_orders."""
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
     )
 
@@ -391,21 +392,51 @@ def q_price_quantiles(sf_dir: str) -> "ray.data.Dataset":
             ),
         })
 
-    def quants(g: pd.DataFrame) -> pa.Table:
-        # group = ONE priority class (few groups, so per-key map_groups
-        # is fine here — no coarse partition needed)
-        v = np.sort(g["cents"].to_numpy())
+    _EMPTY = pa.table({
+        "o_orderpriority": pa.array([], type=pa.string()),
+        "p50_cents": pa.array([], type=pa.int64()),
+        "p90_cents": pa.array([], type=pa.int64()),
+        "n_orders": pa.array([], type=pa.int64()),
+    })
+
+    def quants(t: pa.Table) -> pa.Table:
+        # input = the FULL slim histogram (one row per distinct
+        # (priority, cents) — bounded regardless of corpus size); the
+        # weighted order statistic over (cents asc, n) reproduces
+        # quantile_disc exactly. Typed-empty return keeps every bundle
+        # schema-ful (the r4 prep.py landmine).
+        if t.num_rows == 0:
+            return _EMPTY
+        g = t.to_pandas().sort_values(["o_orderpriority", "cents"])
+        rows = []
+        for prio, grp in g.groupby("o_orderpriority", sort=True):
+            n = grp["n"].to_numpy()
+            cum = np.cumsum(n)
+            total = int(cum[-1])
+            c = grp["cents"].to_numpy()
+            p50 = int(c[np.searchsorted(cum, max(1, int(np.ceil(0.5 * total))))])
+            p90 = int(c[np.searchsorted(cum, max(1, int(np.ceil(0.9 * total))))])
+            rows.append((prio, p50, p90, total))
         return pa.table({
-            "o_orderpriority": pa.array([g["o_orderpriority"].iloc[0]], type=pa.string()),
-            "p50_cents": pa.array([_qdisc(v, 0.5)], type=pa.int64()),
-            "p90_cents": pa.array([_qdisc(v, 0.9)], type=pa.int64()),
-            "n_orders": pa.array([len(v)], type=pa.int64()),
+            "o_orderpriority": pa.array([r[0] for r in rows], type=pa.string()),
+            "p50_cents": pa.array([r[1] for r in rows], type=pa.int64()),
+            "p90_cents": pa.array([r[2] for r in rows], type=pa.int64()),
+            "n_orders": pa.array([r[3] for r in rows], type=pa.int64()),
         })
 
-    return (
+    from ray.data.aggregate import Count
+
+    # pre-aggregate to the slim (priority, cents, n) histogram FIRST —
+    # only distinct price points cross the exchange, and the final
+    # quantile pass is one small single-partition map (never an empty
+    # hash partition, so no schemaless-RefBundle warnings)
+    hist = (
         ds.map_batches(cents, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .map_groups(quants, batch_format="pandas")
+        .groupby(["o_orderpriority", "cents"])
+        .aggregate(Count(alias_name="n"))
+    )
+    return hist.repartition(1).map_batches(
+        quants, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -428,18 +459,25 @@ def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
     per-user event sessions split at >30-minute gaps. Coarse-partitioned
     by user, gap/cumsum fully vectorized inside each partition.
     Columns: user_id, session_id, session_start, session_end, n_events."""
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
 
-    def part(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    _EMPTY = pa.table({
+        "user_id": pa.array([], type=pa.int64()),
+        "session_id": pa.array([], type=pa.int64()),
+        "session_start": pa.array([], type=pa.timestamp("us")),
+        "session_end": pa.array([], type=pa.timestamp("us")),
+        "n_events": pa.array([], type=pa.int64()),
+    })
 
-        return t.append_column(
-            "part", pc.cast(pc.bit_wise_and(t["user_id"], N_PARTS - 1), pa.int32())
-        )
-
-    def sessions(g: pd.DataFrame) -> pa.Table:
+    def sessions(t: pa.Table) -> pa.Table:
+        # whole hash partition per call (a user never splits across
+        # partitions); typed-empty return for empty partitions keeps
+        # every RefBundle schema-ful
+        if t.num_rows == 0:
+            return _EMPTY
+        g = t.to_pandas()
         g = g.sort_values(["user_id", "ts", "event_id"])
         gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
         by_user = g.groupby("user_id", sort=False)
@@ -459,10 +497,13 @@ def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
             "n_events": pa.array(agg["n_events"].to_numpy(), type=pa.int64()),
         })
 
+    from ray.data.context import ShuffleStrategy
+
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    n_parts = max(1, min(N_PARTS, ds.count() // 8192 + 1))
     return (
-        ds.map_batches(part, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(sessions, batch_format="pandas")
+        ds.repartition(n_parts, keys=["user_id"], sort=True)
+        .map_batches(sessions, batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -563,7 +604,7 @@ def q_price_quantile_sketch(sf_dir: str) -> "ray.data.Dataset":
     The estimate-vs-exact audit lives in the test suite
     (``tests/test_ops.py``), mirroring the HLL pattern. Columns:
     n_rows, p50, p90, p99, rel_err_bound_pct. (No SQL oracle: sketch.)"""
-    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    ds = read_pq(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
     edges = _hist_edges()
 
     def sketch(t: pa.Table) -> pa.Table:
@@ -612,11 +653,11 @@ def q_range_join_ship(sf_dir: str, days: int = RANGE_DAYS) -> "ray.data.Dataset"
     zero output; see ``q_asof_last_ship``.)
     Columns: o_orderkey, n_ship_window, first_ship_ts."""
     delta = np.timedelta64(days * 86_400_000_000, "us")
-    orders = ray.data.read_parquet(
+    orders = read_pq(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderdate"],
     )
-    ships = ray.data.read_parquet(
+    ships = read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
     )
 
@@ -714,7 +755,7 @@ def q_event_transitions(sf_dir: str) -> "ray.data.Dataset":
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
+    ds = read_pq(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "ts", "event_id", "event_type"],
     )
@@ -783,10 +824,10 @@ def q_customer_ltv(sf_dir: str) -> "ray.data.Dataset":
 
     from .dedup import _coalesce_for_join, _join_parts_for
 
-    cust = ray.data.read_parquet(
+    cust = read_pq(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
-    orders = ray.data.read_parquet(
+    orders = read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 

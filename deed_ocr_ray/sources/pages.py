@@ -31,6 +31,33 @@ def find_shards(input_path: Union[str, Sequence[str]]) -> List[str]:
     return [input_path]
 
 
+def read_pq(paths, columns: Optional[List[str]] = None, **kwargs) -> "ray.data.Dataset":
+    """``ray.data.read_parquet`` that strips file-level schema METADATA.
+
+    Parquet written via pandas carries a ``pandas`` metadata blob that
+    makes ``hash(schema)`` raise inside Ray's schema-dedup
+    (``transform_pyarrow.unify_schemas``), spamming "Failed to hash the
+    schemas" warnings at every shuffle reduce. Reading one footer and
+    passing a metadata-free (column-pruned) ``schema=`` silences it and
+    also pins block types for empty fragments. Falls back to a plain
+    read for partitioned dirs / missing columns / any footer surprise.
+    """
+    if "schema" not in kwargs:
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            sch = pq.read_schema(find_shards(paths)[0])
+            if sch.metadata:
+                sch = sch.remove_metadata()
+                if columns is not None:
+                    sch = pa.schema([sch.field(c) for c in columns])
+                kwargs["schema"] = sch
+        except Exception:
+            pass
+    return ray.data.read_parquet(paths, columns=columns, **kwargs)
+
+
 def read_pages(
     input_path: Union[str, Sequence[str]],
     columns: Optional[List[str]] = None,
@@ -40,7 +67,7 @@ def read_pages(
     shards = find_shards(input_path)
     if not shards:
         raise FileNotFoundError(f"no parquet shards under {input_path!r}")
-    return ray.data.read_parquet(
+    return read_pq(
         shards,
         columns=columns,
         include_paths=include_paths,
