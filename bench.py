@@ -81,11 +81,19 @@ BENCH_QUERIES = [
     "vocab_ids",
     "delta_apply",
     "order_percent_rank",
+    # round-5 additions: banded-DP fuzzy join, checkpoint-fed
+    # clustering/keeper, the full prep composition, posting pairs
+    "fuzzy_url_pairs",
+    "neardup_clusters",
+    "cluster_keep_best",
+    "training_prep",
+    "posting_pairs",
     # map-only tail (see note above)
     "token_count",
     "quality_score",
     "stratified_split",
     "pii_redact",
+    "corpus_filter",
 ]
 
 

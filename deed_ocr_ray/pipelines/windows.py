@@ -463,21 +463,14 @@ def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
 
-    _EMPTY = pa.table({
-        "user_id": pa.array([], type=pa.int64()),
-        "session_id": pa.array([], type=pa.int64()),
-        "session_start": pa.array([], type=pa.timestamp("us")),
-        "session_end": pa.array([], type=pa.timestamp("us")),
-        "n_events": pa.array([], type=pa.int64()),
-    })
+    def part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    def sessions(t: pa.Table) -> pa.Table:
-        # whole hash partition per call (a user never splits across
-        # partitions); typed-empty return for empty partitions keeps
-        # every RefBundle schema-ful
-        if t.num_rows == 0:
-            return _EMPTY
-        g = t.to_pandas()
+        return t.append_column(
+            "part", pc.cast(pc.bit_wise_and(t["user_id"], N_PARTS - 1), pa.int32())
+        )
+
+    def sessions(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["user_id", "ts", "event_id"])
         gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
         by_user = g.groupby("user_id", sort=False)
@@ -497,13 +490,15 @@ def q_sessionize(sf_dir: str) -> "ray.data.Dataset":
             "n_events": pa.array(agg["n_events"].to_numpy(), type=pa.int64()),
         })
 
-    from ray.data.context import ShuffleStrategy
-
-    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    n_parts = max(1, min(N_PARTS, ds.count() // 8192 + 1))
+    # sort-based groupby on the coarse part key (the drop-in since r1):
+    # no aggregator-actor startup tax (a keyed hash repartition costs
+    # ~2.5 s of actors on this sub-second query); its old "failed to
+    # hash the schemas" spam came from parquet pandas metadata, fixed
+    # at the read by read_pq's schema strip
     return (
-        ds.repartition(n_parts, keys=["user_id"], sort=True)
-        .map_batches(sessions, batch_format="pyarrow", batch_size=None)
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sessions, batch_format="pandas")
     )
 
 
