@@ -347,12 +347,20 @@ def minhash_pairs_ckpt_for(sf_dir: str, min_est: float = 0.5) -> str:
     artifact."""
     import os
 
+    import pyarrow.parquet as pq_
+
     from .corpus import CACHE_ROOT
 
     name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    # key on the input table's shape too, so two corpora that happen to
+    # share a dir basename (crafted test fixtures) can never collide
+    docs = os.path.join(sf_dir, "documents.parquet")
+    n = pq_.ParquetFile(docs).metadata.num_rows
+    sz = os.path.getsize(docs)
     out = os.path.join(
         CACHE_ROOT,
-        f"{name}_minhash_pairs_m{int(min_est * 1000)}_v{MINHASH_CKPT_VERSION}",
+        f"{name}_{n}_{sz}_minhash_pairs_m{int(min_est * 1000)}"
+        f"_v{MINHASH_CKPT_VERSION}",
     )
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):

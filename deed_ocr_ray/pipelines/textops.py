@@ -35,11 +35,23 @@ def q_doc_normalize(sf_dir: str) -> "ray.data.Dataset":
     ds = read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
-        norm = [normalize_text(x) for x in t["text"].to_pylist()]
+        from ..functions import tokens as tk
+        from ..functions.normalize import WATERMARKS
+
+        # Arrow replay of normalize_text: ordered literal watermark
+        # replaces, one-pass newline collapse, space collapse, strip.
+        # RE2's \s and re's \s agree on this corpus (ASCII whitespace
+        # only) — the DuckDB oracle is already RE2 and hash-matches.
+        x = tk._plain(t["text"]).cast(pa.string())
+        for wm in WATERMARKS:
+            x = pc.replace_substring(x, wm, "")
+        x = pc.replace_substring_regex(x, r"\n\s*\n\s*\n", "\n\n")
+        x = pc.replace_substring_regex(x, " +", " ")
+        x = pc.utf8_trim_whitespace(x)
         return pa.table({
             "doc_id": t["doc_id"],
-            "norm_text": pa.array(norm, type=pa.string()),
-            "norm_chars": pa.array([len(x) for x in norm], type=pa.int64()),
+            "norm_text": x,
+            "norm_chars": pc.utf8_length(x).cast(pa.int64()),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -159,14 +171,20 @@ Q_FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
 
 
 class LangId:
-    """Language-ID actor: stop-word hit voting over the built-in tables
-    (the language-gate operator run in reverse). State (lowered stop-word
-    sets) built once per actor — the A1 actor-pool pattern."""
+    """Language-ID stage: stop-word hit voting over the built-in tables
+    (the language-gate operator run in reverse). State (per-language
+    Arrow value-sets for the C-level ``is_in`` probes) built once per
+    worker instance — the A1 pattern."""
 
     def __init__(self) -> None:
         self.tables: Dict[str, frozenset] = {k: STOPWORDS[k] for k in _LANGS}
+        self.value_sets = {
+            k: pa.array(sorted(STOPWORDS[k]), type=pa.string()) for k in _LANGS
+        }
 
     def predict(self, text: str) -> str:
+        """Scalar reference (pinned by tests); the batch path below must
+        agree exactly."""
         words = text.lower().split()
         if not words:
             return "unknown"
@@ -179,10 +197,27 @@ class LangId:
         return best_lang
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        langs = t["lang"].to_pylist()
-        pred = [self.predict(x) for x in texts]
-        agree = [p == g for p, g in zip(pred, langs)]
+        import numpy as np
+
+        from ..functions import tokens as tk
+
+        n = t.num_rows
+        flat, parent = tk.explode_ws(pc.utf8_lower(tk._plain(t["text"])))
+        par = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+        best_hits = np.zeros(n, dtype=np.int64)
+        best_idx = np.full(n, -1, dtype=np.int64)  # -1 = "unknown"
+        for i, lang in enumerate(_LANGS):  # fixed order, strict > — the
+            # exact tie-break of the scalar reference
+            hits = np.bincount(
+                par[pc.is_in(flat, value_set=self.value_sets[lang])
+                    .to_numpy(zero_copy_only=False)],
+                minlength=n).astype(np.int64)
+            win = hits > best_hits
+            best_hits[win] = hits[win]
+            best_idx[win] = i
+        lut = np.array(["unknown"] + list(_LANGS), dtype=object)
+        pred = lut[best_idx + 1]
+        agree = pred == np.asarray(t["lang"].to_pylist(), dtype=object)
         return pa.table({
             "doc_id": t["doc_id"],
             "pred_lang": pa.array(pred, type=pa.string()),

@@ -92,3 +92,22 @@ def test_banded_lev_many_matches_scalar(strs, k):
             assert d == want, (strs[a], strs[b], d, want)
         else:
             assert d == k + 1, (strs[a], strs[b], d, want)
+
+
+@given(st.lists(st.sampled_from(
+    ["the", "and", "der", "und", "yang", "dan", "xq", "", "THE", "Und"]),
+    max_size=24))
+@settings(max_examples=100, deadline=None)
+def test_langid_batch_matches_scalar(word_lists):
+    from deed_ocr_ray.pipelines.textops import LangId
+
+    # build a batch of several docs from slices of the drawn pool
+    docs = [" ".join(word_lists[i::3]) for i in range(3)]
+    li = LangId()
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+        "text": pa.array(docs, type=pa.string()),
+        "lang": pa.array(["en"] * len(docs), type=pa.string()),
+    })
+    out = li(t)
+    assert out["pred_lang"].to_pylist() == [li.predict(x) for x in docs]
