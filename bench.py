@@ -193,24 +193,29 @@ def main() -> None:
         import __ray_entry__ as ent
 
         qs = ent.queries()
-        for name in BENCH_QUERIES:
-            # best-of-2 per query: a single host-steal window (measured
-            # 2-27%) otherwise skews individual numbers by 2-3x — the
-            # round-2 "regressions" were exactly this artifact
-            best_dt = None
-            for _ in range(2):
-                t0 = time.perf_counter()
-                res = qs[name](SF_DIR)
-                # consume lazily-built Datasets so the timing is real
-                try:
-                    import ray.data
+        def timed(name: str) -> float:
+            t0 = time.perf_counter()
+            res = qs[name](SF_DIR)
+            # consume lazily-built Datasets so the timing is real
+            try:
+                import ray.data
 
-                    if isinstance(res, ray.data.Dataset):
-                        res.count()
-                except ImportError:
-                    pass
-                dt = time.perf_counter() - t0
-                best_dt = dt if best_dt is None else min(best_dt, dt)
+                if isinstance(res, ray.data.Dataset):
+                    res.count()
+            except ImportError:
+                pass
+            return time.perf_counter() - t0
+
+        for name in BENCH_QUERIES:
+            # best-of-2 per query, plus a third attempt when the two
+            # disagree by >25%: a single host-steal window (measured
+            # 2-27%, whole-window slowdowns up to ~2x) otherwise skews
+            # individual numbers — the round-2 "regressions" were
+            # exactly this artifact
+            times = [timed(name), timed(name)]
+            if min(times) > 0.3 and abs(times[0] - times[1]) / min(times) > 0.25:
+                times.append(timed(name))
+            best_dt = min(times)
             result["queries"][name] = round(best_dt, 3)
             total += best_dt
 
