@@ -651,21 +651,55 @@ def q3_shipping_priority(
                       num_partitions=_join_parts_for(max(n_o, n_l)),
                       on=("l_orderkey",), right_on=("o_orderkey",))
 
-    def order_partial(t: pa.Table) -> pa.Table:
-        return (t.select(["l_orderkey", "o_orderdate", "o_orderpriority",
-                          "rev"])
-                .group_by(["l_orderkey", "o_orderdate", "o_orderpriority"])
-                .aggregate([("rev", "sum")]))
+    # final rollup is by the INT orderkey only (date/priority are
+    # functionally dependent — carried as group min), summed with
+    # Arrow group_by kernels behind a coarse int-part exchange: Ray's
+    # sort-based Aggregate on the 3-column (int, ts, string) key
+    # measured seconds per block (the top_parts_per_nation pathology),
+    # and the global sort+limit collapses to a per-partition top-k
+    # combiner + one tiny final partition.
+    n_parts = 16
 
-    agg = (joined.map_batches(order_partial, batch_format="pyarrow")
-           .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
-           .aggregate(Sum("rev_sum", alias_name="revenue_cents")))
-    out = agg.map_batches(
-        lambda t: t.select(["l_orderkey", "o_orderdate", "o_orderpriority",
-                            "revenue_cents"]),
-        batch_format="pyarrow")
-    return out.sort(["revenue_cents", "o_orderdate", "l_orderkey"],
-                    descending=[True, False, False]).limit(k)
+    def order_partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["l_orderkey", "o_orderdate", "o_orderpriority", "rev"])
+             .group_by(["l_orderkey"], use_threads=False)
+             .aggregate([("rev", "sum"), ("o_orderdate", "min"),
+                         ("o_orderpriority", "min")]))
+        part = pc.cast(pc.bit_wise_and(g["l_orderkey"].combine_chunks()
+                                       .cast(pa.int64()), n_parts - 1),
+                       pa.int32())
+        return pa.table({
+            "part": part,
+            "l_orderkey": g["l_orderkey"],
+            "o_orderdate": g["o_orderdate_min"],
+            "o_orderpriority": g["o_orderpriority_min"],
+            "rev": g["rev_sum"].cast(pa.int64()),
+        })
+
+    def local_topk(g: "pd.DataFrame") -> pa.Table:
+        t = (pa.Table.from_pandas(
+                g[["l_orderkey", "o_orderdate", "o_orderpriority", "rev"]],
+                preserve_index=False)
+             .group_by(["l_orderkey"], use_threads=False)
+             .aggregate([("rev", "sum"), ("o_orderdate", "min"),
+                         ("o_orderpriority", "min")]))
+        d = t.to_pandas().sort_values(
+            ["rev_sum", "o_orderdate_min", "l_orderkey"],
+            ascending=[False, True, True]).head(k)
+        return pa.table({
+            "l_orderkey": pa.array(d["l_orderkey"].to_numpy(), type=pa.int64()),
+            "o_orderdate": pa.Array.from_pandas(d["o_orderdate_min"],
+                                                type=pa.timestamp("us")),
+            "o_orderpriority": pa.array(d["o_orderpriority_min"],
+                                        type=pa.string()),
+            "revenue_cents": pa.array(d["rev_sum"].to_numpy(), type=pa.int64()),
+        })
+
+    cand = (joined.map_batches(order_partial, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(local_topk, batch_format="pandas"))
+    return cand.sort(["revenue_cents", "o_orderdate", "l_orderkey"],
+                     descending=[True, False, False]).limit(k)
 
 
 def q3_sql(k: int = 10) -> str:
@@ -743,16 +777,18 @@ def q_top_parts_per_nation(
     per-key ``map_groups`` is fine at that cardinality; coarse-partition
     for high-cardinality keys). Deterministic tie-break (revenue desc,
     partkey asc). Columns: n_name, l_partkey, revenue_cents, rk."""
+    import numpy as np
     import pandas as pd
 
-    # nation is constant-25-rows: folded into the supplier transform;
-    # supplier SCALES with sf -> size-dispatched attach_dim
+    # nation is constant-25-rows: folded in at the very END (the
+    # shuffle key stays a single int64); supplier SCALES with sf ->
+    # size-dispatched attach_dim
     nname = _nation_name_map(sf_dir)
+    n_parts = 16
 
     def supp_nation(t: pa.Table) -> pa.Table:
-        nn = [nname.get(nk, "UNKNOWN") for nk in t["s_nationkey"].to_pylist()]
         return pa.table({"s_suppkey": t["s_suppkey"],
-                         "n_name": pa.array(nn, type=pa.string())})
+                         "s_nationkey": t["s_nationkey"].cast(pa.int64())})
 
     n_li = _parquet_rows(f"{sf_dir}/lineitem.parquet")
     joined = attach_dim(
@@ -761,27 +797,72 @@ def q_top_parts_per_nation(
                 ["s_suppkey", "s_nationkey"], "s_suppkey", supp_nation),
         cutoff=cutoff, fact_rows=n_li)
 
+    # Ray's sort-based Aggregate on a (string, int) key measured ~1.3 s
+    # PER 9k-row BLOCK here; pack (nationkey, partkey) into ONE int64
+    # and do all summing with Arrow group_by kernels instead — the
+    # shuffle moves a single int column and never sorts strings.
     def nation_partial(t: pa.Table) -> pa.Table:
-        return (t.select(["n_name", "l_partkey", "rev"])
-                .group_by(["n_name", "l_partkey"])
-                .aggregate([("rev", "sum")]))
+        key = pc.bit_wise_or(
+            pc.shift_left(t["s_nationkey"].combine_chunks().cast(pa.int64()), 32),
+            t["l_partkey"].combine_chunks().cast(pa.int64()))
+        g = (pa.table({"key": key, "rev": t["rev"]})
+             .group_by(["key"], use_threads=False)
+             .aggregate([("rev", "sum")]))
+        part = pc.cast(pc.bit_wise_and(g["key"], n_parts - 1), pa.int32())
+        return pa.table({"part": part, "key": g["key"],
+                         "rev": g["rev_sum"].cast(pa.int64())})
 
     partials = joined.map_batches(nation_partial, batch_format="pyarrow")
-    totals = partials.groupby(["n_name", "l_partkey"]).aggregate(
-        Sum("rev_sum", alias_name="revenue_cents")
-    )
 
-    def topk(g: "pd.DataFrame") -> pa.Table:
-        g = g.sort_values(["revenue_cents", "l_partkey"],
-                          ascending=[False, True]).head(k)
+    def local_topk(g: pd.DataFrame) -> pa.Table:
+        # in-partition sums ARE global (copies of a key co-locate);
+        # per-nation top-k here is a tiny candidate superset — <= 25*k
+        # rows leave each partition, the classic top-k combiner
+        t = (pa.Table.from_pandas(g[["key", "rev"]], preserve_index=False)
+             .group_by(["key"], use_threads=False)
+             .aggregate([("rev", "sum")]))
+        key = t["key"].to_numpy(zero_copy_only=False)
+        rev = t["rev_sum"].to_numpy(zero_copy_only=False)
+        nat, prt = key >> 32, key & 0xFFFFFFFF
+        df = pd.DataFrame({"nat": nat, "l_partkey": prt,
+                           "revenue_cents": rev})
+        df = df.sort_values(["nat", "revenue_cents", "l_partkey"],
+                            ascending=[True, False, True])
+        df = df.groupby("nat", sort=False).head(k)
         return pa.table({
-            "n_name": pa.array(g["n_name"], type=pa.string()),
-            "l_partkey": pa.array(g["l_partkey"], type=pa.int64()),
-            "revenue_cents": pa.array(g["revenue_cents"], type=pa.int64()),
-            "rk": pa.array(range(1, len(g) + 1), type=pa.int64()),
+            "nat": pa.array(df["nat"].to_numpy(), type=pa.int64()),
+            "l_partkey": pa.array(df["l_partkey"].to_numpy(), type=pa.int64()),
+            "revenue_cents": pa.array(df["revenue_cents"].to_numpy(),
+                                      type=pa.int64()),
         })
 
-    return totals.groupby("n_name").map_groups(topk, batch_format="pandas")
+    cand = partials.groupby("part").map_groups(local_topk, batch_format="pandas")
+
+    def final_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "n_name": pa.array([], type=pa.string()),
+                "l_partkey": pa.array([], type=pa.int64()),
+                "revenue_cents": pa.array([], type=pa.int64()),
+                "rk": pa.array([], type=pa.int64()),
+            })
+        g = t.to_pandas().sort_values(
+            ["nat", "revenue_cents", "l_partkey"],
+            ascending=[True, False, True])
+        g = g.groupby("nat", sort=False).head(k)
+        g["rk"] = g.groupby("nat", sort=False).cumcount() + 1
+        names = [nname.get(int(x), "UNKNOWN") for x in g["nat"]]
+        return pa.table({
+            "n_name": pa.array(names, type=pa.string()),
+            "l_partkey": pa.array(g["l_partkey"].to_numpy(), type=pa.int64()),
+            "revenue_cents": pa.array(g["revenue_cents"].to_numpy(),
+                                      type=pa.int64()),
+            "rk": pa.array(g["rk"].to_numpy(), type=pa.int64()),
+        })
+
+    # candidates are <= n_parts*25*k slim int rows: one tiny partition
+    return cand.repartition(1).map_batches(
+        final_topk, batch_format="pyarrow", batch_size=None)
 
 
 def top_parts_per_nation_sql(k: int = 3) -> str:
