@@ -227,8 +227,26 @@ def _candidate_pairs(
     pairs = bands.groupby("part").map_groups(fn, batch_format="pandas")
     # a pair can surface from several bands -> exact dedup on the slim
     # pair rows; n_bands doubles as the overflow-bucket count for the
-    # (-1, size) sentinel keys
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    # (-1, size) sentinel keys. One coarse int-part exchange +
+    # in-partition Arrow group_by (Ray's sort-based Aggregate on the
+    # two-column key measured seconds of fixed cost per run).
+    def pair_part(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].combine_chunks()
+        b = t["doc_b"].combine_chunks()
+        pp = pc.cast(pc.bit_wise_and(
+            pc.add(pc.multiply(a, 1000003), b), 63), pa.int32())
+        return pa.table({"pp": pp, "doc_a": a, "doc_b": b})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        gg = (pa.Table.from_pandas(g[["doc_a", "doc_b"]],
+                                   preserve_index=False)
+              .group_by(["doc_a", "doc_b"], use_threads=False)
+              .aggregate([([], "count_all")]))
+        return pa.table({"doc_a": gg["doc_a"], "doc_b": gg["doc_b"],
+                         "n_bands": gg["count_all"].cast(pa.int64())})
+
+    return (pairs.map_batches(pair_part, batch_format="pyarrow")
+            .groupby("pp").map_groups(fold, batch_format="pandas"))
 
 
 def _est_jaccard_from_sigs(t: pa.Table) -> pa.Table:
@@ -640,9 +658,28 @@ def _simhash_candidates(
 
     exploded = ds.map_batches(_simhash_bands_fn, batch_format="pyarrow")
     cand = exploded.groupby("part").map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming"), Count(alias_name="n_buckets")
-    )
+
+    # pair dedup via coarse int-part exchange + in-partition Arrow
+    # group_by (same rationale as _candidate_pairs)
+    def pair_part(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].combine_chunks()
+        b = t["doc_b"].combine_chunks()
+        pp = pc.cast(pc.bit_wise_and(
+            pc.add(pc.multiply(a, 1000003), b), 63), pa.int32())
+        return pa.table({"pp": pp, "doc_a": a, "doc_b": b,
+                         "hamming": t["hamming"].combine_chunks()})
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        gg = (pa.Table.from_pandas(g[["doc_a", "doc_b", "hamming"]],
+                                   preserve_index=False)
+              .group_by(["doc_a", "doc_b"], use_threads=False)
+              .aggregate([("hamming", "min"), ([], "count_all")]))
+        return pa.table({"doc_a": gg["doc_a"], "doc_b": gg["doc_b"],
+                         "hamming": gg["hamming_min"].cast(pa.int64()),
+                         "n_buckets": gg["count_all"].cast(pa.int64())})
+
+    return (cand.map_batches(pair_part, batch_format="pyarrow")
+            .groupby("pp").map_groups(fold, batch_format="pandas"))
 
 
 def q_simhash_near_pairs(
