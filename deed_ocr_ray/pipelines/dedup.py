@@ -979,7 +979,8 @@ _EMPTY_KEEP = pa.table({
 })
 
 
-def q_cluster_keep_best(sf_dir: str, min_est: float = 0.5) -> "ray.data.Dataset":
+def q_cluster_keep_best(sf_dir: str, min_est: float = 0.5,
+                        cutoff: int | None = None) -> "ray.data.Dataset":
     """Pick the KEEPER in every near-dup cluster — the ranked dedup
     decision (SURVEY D2 "near-dup with ranking") that completes
     [[q_neardup_clusters]]'s component labels: within each component,
@@ -998,6 +999,9 @@ def q_cluster_keep_best(sf_dir: str, min_est: float = 0.5) -> "ray.data.Dataset"
     Columns: doc_id, rep_id, n_chars, keep.
     (No SQL oracle: input clusters are MinHash-sketch-derived; the
     keep rule itself is pytest-verified on a crafted fixture.)"""
+    from .broadcast import cached_get
+    from .relational import BROADCAST_ROWS_CUTOFF
+
     clusters = q_neardup_clusters(sf_dir, min_est=min_est)
     clusters, n_cl = _coalesce_for_join(
         clusters.map_batches(lambda t: t.select(["doc_id", "rep_id"]),
@@ -1007,9 +1011,36 @@ def q_cluster_keep_best(sf_dir: str, min_est: float = 0.5) -> "ray.data.Dataset"
 
     docs = read_pq(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "n_chars"])
-    joined = clusters.join(docs, join_type="inner",
-                           num_partitions=_join_parts_for(n_cl),
-                           on=("doc_id",))
+    if cutoff is None:
+        cutoff = BROADCAST_ROWS_CUTOFF
+    if n_cl <= cutoff:
+        # size-dispatched (the attach_dim pattern): the cluster map is
+        # the small side — broadcast it once and probe the pruned
+        # documents stream in place of the distributed hash join
+        import ray as _ray
+
+        cl = clusters.to_pandas()
+        ref = _ray.put(pd.Series(cl["rep_id"].to_numpy(),
+                                 index=cl["doc_id"].to_numpy()))
+
+        def probe(t: pa.Table) -> pa.Table:
+            s = cached_get(ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            idx = s.index.get_indexer(ids)
+            hit = idx >= 0
+            return pa.table({
+                "doc_id": pa.array(ids[hit], type=pa.int64()),
+                "rep_id": pa.array(s.to_numpy()[idx[hit]], type=pa.int64()),
+                "n_chars": pa.array(
+                    t["n_chars"].to_numpy(zero_copy_only=False)[hit],
+                    type=pa.int64()),
+            })
+
+        joined = docs.map_batches(probe, batch_format="pyarrow")
+    else:  # distributed join path, pinned via cutoff=0 in tests
+        joined = clusters.join(docs, join_type="inner",
+                               num_partitions=_join_parts_for(n_cl),
+                               on=("doc_id",))
 
     def decide(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["rep_id", "n_chars", "doc_id"],

@@ -111,3 +111,14 @@ def test_langid_batch_matches_scalar(word_lists):
     })
     out = li(t)
     assert out["pred_lang"].to_pylist() == [li.predict(x) for x in docs]
+
+
+def test_cluster_keep_best_join_path_matches_broadcast(ray_session):
+    from deed_ocr_ray.pipelines.dedup import q_cluster_keep_best
+
+    SF = "/root/testdata/sf0.01"
+    a = q_cluster_keep_best(SF).to_pandas().sort_values(
+        ["rep_id", "doc_id"]).reset_index(drop=True)
+    b = q_cluster_keep_best(SF, cutoff=0).to_pandas().sort_values(
+        ["rep_id", "doc_id"]).reset_index(drop=True)
+    assert a.equals(b[a.columns])
