@@ -335,6 +335,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_normalize": textops.Q_NORMALIZE_SQL,
         "token_count": textops.Q_TOKEN_COUNT_SQL,
         "token_count_bpe": textops.Q_TOKEN_COUNT_BPE_SQL,
+        "lang_id": textops.Q_LANG_ID_SQL,
+        "embedding_neardup": similarity.Q_EMBEDDING_NEARDUP_SQL,
         "quality_score": textops.Q_QUALITY_SQL,
         "fingerprint": textops.Q_FINGERPRINT_SQL,
         "top_terms": textops.Q_TOP_TERMS_SQL,
@@ -413,6 +415,8 @@ def _linkgraph_oracles() -> dict[str, str]:
             prep.paragraph_dedup_extracted_sql("/root/testdata/sf0.01"),
         "neardup_clusters":
             dedup.neardup_clusters_sql("/root/testdata/sf0.01"),
+        "training_prep":
+            prep.training_prep_sql("/root/testdata/sf0.01"),
         "cluster_keep_best":
             dedup.cluster_keep_best_sql("/root/testdata/sf0.01"),
     }

@@ -35,10 +35,11 @@ N_DEDUP_PARTS = 256
 def q_training_prep(sf_dir: str) -> "ray.data.Dataset":
     """Full prep chain over the synthesized pages corpus. Returns one
     row per surviving document: url, warc_ts, n_tokens, start_tok,
-    window_id. (No SQL oracle: extraction is not SQL-expressible; the
-    downstream stages are oracle-checked individually.)
-    Reads the extraction checkpoint parquet — downstream jobs consume
-    the extraction run's checkpointed output, not a re-extraction."""
+    window_id. Reads the extraction checkpoint parquet — downstream
+    jobs consume the extraction run's checkpointed output, not a
+    re-extraction — which also gives the chain a value-hash DuckDB
+    oracle (``training_prep_sql``: the full dedup+packing replay over
+    the same artifact)."""
     from .corpus import extracted_corpus_for
 
     extracted = read_pq(extracted_corpus_for(sf_dir),
@@ -134,6 +135,45 @@ def q_training_prep(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return uniq.map_batches(emit, batch_size=None, batch_format="pyarrow")
+
+
+def training_prep_sql(sf_dir: str) -> str:
+    """DuckDB replay of :func:`q_training_prep` over the extraction
+    checkpoint parquet (the same /tmp artifact the query reads): ok
+    filter, whitespace token count, MIN_TOKENS gate, md5 exact dedup
+    with first-capture-wins by (warc_ts, url), then the global
+    (url, warc_ts)-ordered exclusive prefix sum and window ids."""
+    from .corpus import extracted_corpus_for
+
+    ckpt = extracted_corpus_for(sf_dir)
+    return rf"""
+WITH ok AS (
+  SELECT url, warc_ts, md5(extracted_text) AS fp,
+         CASE WHEN trim(extracted_text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(extracted_text), '\s+'))
+         END AS n_tokens
+  FROM read_parquet('{ckpt}/*.parquet')
+  WHERE status = 'ok'
+),
+f AS (SELECT * FROM ok WHERE n_tokens >= {MIN_TOKENS}),
+u AS (
+  SELECT url, warc_ts, n_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp
+                                 ORDER BY warc_ts, url) AS rn
+    FROM f) WHERE rn = 1
+),
+s AS (
+  SELECT url, warc_ts, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             ORDER BY url, warc_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS start_tok
+  FROM u
+)
+SELECT url, warc_ts, n_tokens, CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok // {WINDOW_TOKENS} AS BIGINT) AS window_id
+FROM s
+"""
 
 
 # -------------------------------------- cross-doc paragraph dedup (C4)

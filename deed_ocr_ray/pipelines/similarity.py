@@ -343,7 +343,12 @@ def q_embedding_neardup(
     vec_b=group_size, cos=0, is_above_threshold=False)`` so the skipped
     work is observable, never silent.
     Columns: label, vec_a, vec_b, cos, is_above_threshold.
-    (No SQL oracle: blocked heuristic recall.)"""
+    Oracle: ``embedding_neardup_sql`` — within a label block the scan
+    is EXHAUSTIVE and the cosine is the DuckDB-bit-identical float64
+    path, so as long as no label exceeds ``max_label_docs`` (true for
+    the gate fixture; the overflow path is pytest-pinned) DuckDB
+    replays it exactly, including the closest-pair fallback row and
+    its first-in-(vec_a, vec_b)-order tie-break."""
     ds = read_pq(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding", "label"])
 
@@ -415,6 +420,30 @@ def q_embedding_neardup(
         })
 
     return ds.groupby("label").map_groups(pairs, batch_format="pandas")
+
+
+def embedding_neardup_sql(min_cos: float = 0.90) -> str:
+    """DuckDB replay of :func:`q_embedding_neardup` (see its docstring
+    for the validity condition)."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_cosine_similarity(a.v, b.v) AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+),
+r AS (SELECT label, vec_a, vec_b, cos,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY cos DESC, vec_a ASC, vec_b ASC) AS rn,
+             max(cos) OVER (PARTITION BY label) AS mx
+      FROM p)
+SELECT label, vec_a, vec_b, cos, cos >= {min_cos!r} AS is_above_threshold
+FROM r WHERE cos >= {min_cos!r} OR (rn = 1 AND mx < {min_cos!r})
+"""
+
+
+Q_EMBEDDING_NEARDUP_SQL = embedding_neardup_sql()
 
 
 # --------------------------------------------------- distributed PCA

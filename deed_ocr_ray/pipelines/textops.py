@@ -227,13 +227,53 @@ class LangId:
 
 def q_lang_id(sf_dir: str) -> "ray.data.Dataset":
     """Heuristic language ID vs the labeled ``lang`` column.
-    Columns: doc_id, pred_lang, agrees. (No SQL oracle: heuristic.)"""
+    Columns: doc_id, pred_lang, agrees. Oracle: ``lang_id_sql`` —
+    the heuristic is a deterministic stop-word hit vote, so DuckDB
+    replays it exactly from an inlined VALUES table of the frozen
+    stop-word lists."""
     ds = read_pq(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
     # task-pool instance: the stopword tables are module constants, so
     # per-task state is trivial (short-stage actor pools pay ~3 s of
     # startup for nothing — NOTES.md)
     return ds.map_batches(LangId(), batch_format="pyarrow")
+
+
+def lang_id_sql() -> str:
+    """DuckDB replay of :func:`q_lang_id`: duplicate-counting stop-word
+    hits per (doc, lang) from the same frozen tables, winner = max
+    hits with the scalar path's ascending-lang strict-greater
+    tie-break (row_number ORDER BY n DESC, lang ASC), zero-hit and
+    blank docs -> 'unknown'."""
+    rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang in _LANGS for w in sorted(STOPWORDS[lang])
+    )
+    return rf"""
+WITH sw(lang, w) AS (VALUES {rows}),
+words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents WHERE trim(text) <> ''
+),
+hits AS (
+  SELECT d.doc_id, s.lang, count(*) AS n
+  FROM words d JOIN sw s ON s.w = d.w GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY n DESC, lang ASC) AS rn
+    FROM hits) WHERE rn = 1
+)
+SELECT d.doc_id,
+       COALESCE(b.lang, 'unknown') AS pred_lang,
+       COALESCE(b.lang, 'unknown') = d.lang AS agrees
+FROM documents d LEFT JOIN best b USING (doc_id)
+"""
+
+
+Q_LANG_ID_SQL = lang_id_sql()
 
 
 # BPE-ish pre-tokenizer (GPT-2-style segment classes, ASCII-simplified
