@@ -336,6 +336,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": textops.Q_TOKEN_COUNT_SQL,
         "token_count_bpe": textops.Q_TOKEN_COUNT_BPE_SQL,
         "lang_id": textops.Q_LANG_ID_SQL,
+        "fingerprint_rolling": textops.Q_FINGERPRINT_ROLLING_SQL,
         "embedding_neardup": similarity.Q_EMBEDDING_NEARDUP_SQL,
         "quality_score": textops.Q_QUALITY_SQL,
         "fingerprint": textops.Q_FINGERPRINT_SQL,

@@ -363,6 +363,52 @@ def q_fingerprint_rolling(sf_dir: str) -> "ray.data.Dataset":
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def fingerprint_rolling_sql() -> str:
+    """DuckDB replay of :func:`q_fingerprint_rolling`: the rolling
+    polynomial hash INCLUDING its uint64 wraparound (HUGEINT arithmetic
+    with an explicit mod 2^64 before the prime mod — numpy's uint64
+    ``h*257+c`` wraps before ``% MOD``, and that wrap is part of the
+    frozen semantics), window-16 running min, distinct count + min per
+    doc. Valid while text is ASCII (the operator hashes UTF-8 BYTES,
+    the SQL hashes codepoints — identical on the fixture corpus)."""
+    two64 = 1 << 64
+    expr = "CAST(0 AS HUGEINT)"
+    for j in range(_WINNOW_K):
+        expr = (f"(((({expr}) * {_WINNOW_BASE} + "
+                f"ord(substr(text, i + {j}, 1))) % {two64}) % {_WINNOW_MOD})")
+    return f"""
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+g AS (
+  SELECT doc_id, i, L - {_WINNOW_K - 1} AS m, {expr} AS h
+  FROM d, LATERAL (SELECT unnest(range(1, L - {_WINNOW_K - 2})) AS i) t
+  WHERE L >= {_WINNOW_K}
+),
+wm AS (
+  SELECT doc_id, m, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+         AS wmin
+  FROM g
+),
+sel AS (
+  SELECT doc_id, wmin AS fp FROM wm
+  WHERE m > {_WINNOW_W} AND i <= m - {_WINNOW_W - 1}
+  UNION ALL
+  SELECT doc_id, min(h) AS fp FROM g WHERE m <= {_WINNOW_W} GROUP BY doc_id
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+               CAST(min(fp) AS BIGINT) AS min_fp
+        FROM fps GROUP BY doc_id)
+SELECT dd.doc_id, COALESCE(a.n_fps, 0) AS n_fps,
+       COALESCE(a.min_fp, 0) AS min_fp
+FROM documents dd LEFT JOIN agg a USING (doc_id)
+"""
+
+
+Q_FINGERPRINT_ROLLING_SQL = fingerprint_rolling_sql()
+
+
 def q_top_terms(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
     """Global top-k terms by count — the canonical pre-aggregated
     wordcount: per-batch Counter (combiner) shrinks the shuffle to
