@@ -1169,6 +1169,7 @@ def banded_lev_many(
 def q_fuzzy_url_pairs(
     sf_dir: str, max_dist: int = FUZZY_MAX_DIST,
     max_block: int = FUZZY_MAX_BLOCK,
+    max_pairs: int = FUZZY_MAX_PAIRS,
 ) -> "ray.data.Dataset":
     """Fuzzy SIMILARITY JOIN with blocking: within-host url pairs at
     edit distance <= ``max_dist`` — the typo/variant-url detector and
@@ -1213,7 +1214,7 @@ def q_fuzzy_url_pairs(
         hi = np.searchsorted(sl, sl + max_dist, side="right")
         cnt = hi - np.arange(n) - 1
         total = int(cnt.sum())
-        if total > FUZZY_MAX_PAIRS:
+        if total > max_pairs:
             return pa.table({
                 "url_a": pa.array([g["host"].iloc[0]], type=pa.string()),
                 "url_b": pa.array(["OVERFLOW"], type=pa.string()),

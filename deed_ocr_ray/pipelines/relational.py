@@ -801,9 +801,11 @@ def q_top_parts_per_nation(
     # PER 9k-row BLOCK here; pack (nationkey, partkey) into ONE int64
     # and do all summing with Arrow group_by kernels instead — the
     # shuffle moves a single int column and never sorts strings.
+    # nationkey < 25, so a 40-bit partkey field leaves headroom to
+    # ~10^12 parts (TPC-H partkey = 200k x SF -> fine past SF 10^6).
     def nation_partial(t: pa.Table) -> pa.Table:
         key = pc.bit_wise_or(
-            pc.shift_left(t["s_nationkey"].combine_chunks().cast(pa.int64()), 32),
+            pc.shift_left(t["s_nationkey"].combine_chunks().cast(pa.int64()), 40),
             t["l_partkey"].combine_chunks().cast(pa.int64()))
         g = (pa.table({"key": key, "rev": t["rev"]})
              .group_by(["key"], use_threads=False)
@@ -823,7 +825,7 @@ def q_top_parts_per_nation(
              .aggregate([("rev", "sum")]))
         key = t["key"].to_numpy(zero_copy_only=False)
         rev = t["rev_sum"].to_numpy(zero_copy_only=False)
-        nat, prt = key >> 32, key & 0xFFFFFFFF
+        nat, prt = key >> 40, key & ((1 << 40) - 1)
         df = pd.DataFrame({"nat": nat, "l_partkey": prt,
                            "revenue_cents": rev})
         df = df.sort_values(["nat", "revenue_cents", "l_partkey"],

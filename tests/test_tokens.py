@@ -122,3 +122,31 @@ def test_cluster_keep_best_join_path_matches_broadcast(ray_session):
     b = q_cluster_keep_best(SF, cutoff=0).to_pandas().sort_values(
         ["rep_id", "doc_id"]).reset_index(drop=True)
     assert a.equals(b[a.columns])
+
+
+def test_fuzzy_pair_cap_overflow_sentinel(ray_session):
+    """A host whose length-filtered candidate-pair count exceeds
+    max_pairs must emit the overflow sentinel, not scan."""
+    from deed_ocr_ray.pipelines.dedup import q_fuzzy_url_pairs
+
+    out = q_fuzzy_url_pairs("/root/testdata/sf0.001", max_pairs=0).to_pandas()
+    assert (out["dist"] == -1).all() and (out["url_b"] == "OVERFLOW").all()
+    assert len(out) > 0
+
+
+def test_read_pq_partitioned_and_missing_column_fallback(ray_session, tmp_path):
+    """read_pq must fall back to a plain read when the requested
+    columns include a hive-partition column absent from the footer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from deed_ocr_ray.sources.pages import read_pq
+
+    d = tmp_path / "part_id=0"
+    d.mkdir()
+    pq.write_table(pa.table({"a": [1, 2], "b": ["x", "y"]}),
+                   str(d / "f.parquet"))
+    ds = read_pq(str(tmp_path), columns=["a", "part_id"])
+    got = ds.to_pandas().sort_values("a").reset_index(drop=True)
+    assert list(got["a"]) == [1, 2]
+    assert set(got.columns) == {"a", "part_id"}
