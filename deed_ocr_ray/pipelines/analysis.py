@@ -1169,25 +1169,46 @@ def q_remove_dup_ngrams(sf_dir: str, n: int = 5, min_count: int = 2) -> "ray.dat
                      num_partitions=_join_parts_for(n_docs), on=("doc_id",))
 
     def rebuild(t: pa.Table) -> pa.Table:
-        doc_ids = t["doc_id"].to_pylist()
-        n_toks: list = []
-        n_rm: list = []
-        clean: list = []
-        for text, starts in zip(t["text"].to_pylist(), t["starts"].to_pylist()):
-            toks = text.strip().split(" ")
-            keep = np.ones(len(toks), dtype=bool)
-            for s_str in starts.split(",") if starts else ():
-                s = int(s_str)
-                keep[s:s + n] = False
-            kept = [tok for tok, k in zip(toks, keep) if k]
-            n_toks.append(len(toks))
-            n_rm.append(len(toks) - len(kept))
-            clean.append(" ".join(kept))
+        from ..functions import tokens as tk
+
+        toks = tk.split_space(t["text"])
+        flat = tk._plain(pc.list_flatten(toks))
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        offsets = np.cumsum(lens) - lens
+        total = int(lens.sum())
+        # dup-window starts: "s1,s2,..." per doc -> flat global ranges
+        sl = pc.split_pattern(tk._plain(t["starts"]), ",")
+        s_flat = tk._plain(pc.list_flatten(sl))
+        s_parent = tk._plain(pc.list_parent_indices(sl)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = pc.not_equal(s_flat, "").to_numpy(zero_copy_only=False)
+        s_vals = np.asarray(
+            pc.cast(s_flat.filter(pa.array(nonempty)), pa.int64())
+            .to_numpy(zero_copy_only=False), dtype=np.int64)
+        s_doc = s_parent[nonempty]
+        # coverage via a difference array: window [g, g+n) per start
+        # (windows never cross a doc end — they came from that doc)
+        diff = np.zeros(total + 1, dtype=np.int64)
+        g = offsets[s_doc] + s_vals
+        np.add.at(diff, g, 1)
+        np.add.at(diff, g + n, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        keep = ~covered
+        parent = np.repeat(np.arange(len(lens)), lens)
+        n_rm = np.bincount(parent[covered], minlength=len(lens)).astype(np.int64)
+        kept_counts = lens - n_rm
+        kept_flat = flat.filter(pa.array(keep))
+        kept_offsets = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(kept_offsets, type=pa.int32()),
+            kept_flat.cast(pa.string()))
+        clean = pc.binary_join(kept_list, " ")
         return pa.table({
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "n_tokens": pa.array(n_toks, type=pa.int64()),
+            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+            "n_tokens": pa.array(lens, type=pa.int64()),
             "n_removed": pa.array(n_rm, type=pa.int64()),
-            "clean_text": pa.array(clean, type=pa.string()),
+            "clean_text": clean,
         })
 
     return joined.map_batches(rebuild, batch_format="pyarrow")

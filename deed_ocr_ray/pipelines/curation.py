@@ -336,18 +336,21 @@ def q_term_stats(sf_dir: str, min_len: int = 7, k: int = 50) -> "ray.data.Datase
     n_docs = ds.count()
 
     def pairs(t: pa.Table) -> pa.Table:
-        terms: List[str] = []
-        cnts: List[int] = []
-        for text in t["text"].to_pylist():
-            local: dict = {}
-            for w in text.split():
-                if len(w) >= min_len:
-                    local[w] = local.get(w, 0) + 1
-            terms.extend(local.keys())
-            cnts.extend(local.values())
+        import pyarrow.compute as pc
+
+        from ..functions import tokens as tk
+
+        flat, parent = tk.explode_ws(t["text"])
+        keep = pc.greater_equal(pc.utf8_length(flat), min_len)
+        flat, parent = flat.filter(keep), parent.filter(keep)
+        # per-row (= per-doc) term counts via Arrow group_by: the row
+        # index discriminates docs within the batch
+        g = (pa.table({"i": parent, "term": flat.cast(pa.string())})
+             .group_by(["i", "term"], use_threads=False)
+             .aggregate([([], "count_all")]))
         return pa.table({
-            "term": pa.array(terms, type=pa.string()),
-            "cnt": pa.array(cnts, type=pa.int64()),
+            "term": g["term"],
+            "cnt": g["count_all"].cast(pa.int64()),
         })
 
     agg = (

@@ -414,19 +414,20 @@ def q_top_terms(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
     wordcount: per-batch Counter (combiner) shrinks the shuffle to
     distinct terms per block before the groupby. Deterministic
     tie-break (cnt desc, term asc). Columns: term, cnt."""
-    import collections
-
     from ray.data.aggregate import Sum
 
     ds = read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial(t: pa.Table) -> pa.Table:
-        c: collections.Counter = collections.Counter()
-        for x in t["text"].to_pylist():
-            c.update(x.split())
+        from ..functions import tokens as tk
+
+        flat, _ = tk.explode_ws(t["text"])
+        g = (pa.table({"term": flat.cast(pa.string())})
+             .group_by(["term"], use_threads=False)
+             .aggregate([([], "count_all")]))
         return pa.table({
-            "term": pa.array(list(c.keys()), type=pa.string()),
-            "cnt": pa.array(list(c.values()), type=pa.int64()),
+            "term": g["term"],
+            "cnt": g["count_all"].cast(pa.int64()),
         })
 
     agg = (
